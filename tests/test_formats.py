@@ -1,0 +1,136 @@
+"""Unit tests for the formats layer: CRC, RRC CSV, naming, AOS frames."""
+
+import numpy as np
+import pytest
+
+from opticalimageprocessor_tpu.formats import aos, crc16, naming, rrc_csv
+
+
+def test_crc16_check_value():
+    # CRC-16/CCITT-FALSE check value (CRC.h:1519)
+    assert crc16.crc16_ccitt_false(b"123456789") == 0x29B1
+
+
+def test_crc16_many_matches_scalar(rng):
+    frames = rng.integers(0, 256, size=(16, 890), dtype=np.uint8)
+    batch = crc16.crc16_ccitt_false_many(frames)
+    for i in range(frames.shape[0]):
+        assert batch[i] == crc16.crc16_ccitt_false(frames[i].tobytes())
+
+
+def test_rrc_csv_roundtrip(tmp_path):
+    params = np.array([[1.0, 0.0], [0.998877, -12.5], [1.25, 3.75]])
+    p = tmp_path / "rrc.csv"
+    rrc_csv.save_rrc_params(str(p), params)
+    loaded = rrc_csv.load_rrc_params(str(p), 3)
+    np.testing.assert_array_equal(loaded, params)
+
+
+def test_rrc_csv_reference_format(tmp_path):
+    p = tmp_path / "ref.csv"
+    p.write_text("1\n2\n0\n 1.5 , 2.5\n0.5,-1\n")
+    loaded = rrc_csv.load_rrc_params(str(p), 2)
+    np.testing.assert_array_equal(loaded, [[1.5, 2.5], [0.5, -1.0]])
+
+
+def test_rrc_csv_errors(tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("1\n3\n0\n1,2\n")
+    with pytest.raises(rrc_csv.RRCParamError):
+        rrc_csv.load_rrc_params(str(p), 2)  # header count mismatch
+    p.write_text("1\n2\n0\n1,2\n")
+    with pytest.raises(rrc_csv.RRCParamError):
+        rrc_csv.load_rrc_params(str(p), 2)  # row count mismatch
+
+
+def test_build_output_file_path(tmp_path):
+    out = naming.build_output_file_path(
+        "/data/scene.PAN.RAW", ".RRC", out_dir=str(tmp_path)
+    )
+    assert out == str(tmp_path / "scene.PAN.RRC.RAW")
+    out2 = naming.build_output_file_path(
+        "/data/scene.MSS.RAW", ".ALIGNED", ".TIFF", out_dir=str(tmp_path)
+    )
+    assert out2 == str(tmp_path / "scene.MSS.ALIGNED.TIFF")
+
+
+def test_parse_aos_file_info():
+    afi = naming.parse_aos_file_info("KASHI_TJ3-01_20220817_031259_1.dat")
+    assert afi is not None
+    assert afi.station == "KASHI"
+    assert afi.satellite == "TJ3-01"
+    assert (afi.year, afi.month, afi.day) == (2022, 8, 17)
+    assert (afi.hour, afi.minute, afi.second) == (3, 12, 59)
+    assert naming.parse_aos_file_info("randomfile.bin") is None
+    assert naming.imdt_file_name(afi, True) == (
+        "KASHI_TJ3-01_CMOS-1_20220817_031259.IMDT"
+    )
+
+
+def test_aos_frame_roundtrip(rng):
+    payloads = [rng.integers(0, 256, 880, dtype=np.uint8).tobytes() for _ in range(5)]
+    stream = b"garbage!" + b"".join(
+        aos.build_aos_frame(p, i) for i, p in enumerate(payloads)
+    )
+    # an empty frame and a corrupted frame in the middle
+    stream += aos.build_empty_aos_frame()
+    bad = bytearray(aos.build_aos_frame(payloads[0], 99))
+    bad[500] ^= 0xFF  # break CRC
+    stream += bytes(bad) + aos.build_aos_frame(payloads[1], 100)
+
+    buf = np.frombuffer(stream, dtype=np.uint8)
+    res = aos.scan_aos_frames(buf)
+    assert res.valid.size == 6
+    assert res.empty.size == 1
+    # corrupted frame: its sync is found, fails CRC -> invalid; rescan inside
+    # its body may find nothing else
+    assert res.invalid.size >= 1
+    got = aos.extract_aos_payloads(buf, res.valid)
+    np.testing.assert_array_equal(
+        got[0], np.frombuffer(payloads[0], dtype=np.uint8)
+    )
+    np.testing.assert_array_equal(
+        got[5], np.frombuffer(payloads[1], dtype=np.uint8)
+    )
+
+
+def test_imtr_stream_parse(rng):
+    payloads = [
+        rng.integers(0, 256, 866, dtype=np.uint8).tobytes() for _ in range(4)
+    ]
+    frames = [aos.build_imtr_frame(p, i + 1) for i, p in enumerate(payloads)]
+    # corrupt frame #3 (seq 3) -> dropped, gap reported by next
+    frames[2] = frames[2][:100] + b"\x00" + frames[2][101:]
+    stream = np.frombuffer(b"".join(frames), dtype=np.uint8)
+    res = aos.parse_imtr_stream(stream)
+    assert res.n_frames == 4
+    assert res.n_invalid >= 1
+    assert list(res.seq) == [1, 2, 4]
+    assert res.chid == aos.IMTR_CHID_CMOS1
+    np.testing.assert_array_equal(
+        res.payload[2], np.frombuffer(payloads[3], dtype=np.uint8)
+    )
+
+
+def test_image_frame_roundtrip(rng):
+    pan = rng.integers(0, 65536, (1024, 12288), dtype=np.uint16)
+    mss = rng.integers(0, 65536, (256, 12288), dtype=np.uint16)
+    frame = aos.build_image_frame(pan, mss, seq=1)
+    buf = np.frombuffer(frame, dtype=np.uint8)
+    sigs = aos.find_signatures(buf, aos.IMGSIG_SIG)
+    # the signature may also appear by chance inside random payload bytes;
+    # the real one is the last complete-frame match
+    metas = []
+    for s in sigs.tolist():
+        try:
+            m = aos.parse_image_frame_meta(buf, s)
+            if m.start == 0 and m.frame_end == len(frame):
+                metas.append(m)
+        except Exception:
+            pass
+    assert metas, "true frame signature not recovered"
+    m = metas[-1]
+    assert m.seq == 1
+    assert m.z_ratio == aos.IMGSIG_ZRTO_NONE
+    assert m.image_dwords * 4 == 40 * aos.SUB_IMAGE_BYTES
+    assert int(m.sub_image_dwords.sum()) == m.image_dwords
