@@ -1,0 +1,396 @@
+"""Geometric resampling kernels: cubic upsample and polynomial-shift remap.
+
+Three reference call sites are served here, all INTER_CUBIC (A = -0.75):
+
+* ``upsample4_f32`` — the 4x MSS->PAN-scale upsample before phase
+  correlation (``cv::resize``, preproc.h:302-307).  Exact separable
+  convolution with the 4 fixed fractional phases of a x4 scale; pure XLA
+  (static shifts + weighted adds), no gathers.
+* ``remap_polynomial_u16`` — the per-band alignment resample
+  (``cv::remap`` with maps built from the fitted shift polynomials,
+  preproc.h:440-457): ``mapx(x) = (cX1*xx + cX0 + xx)/4`` (column-only) and
+  ``mapy(y,x) = float32(y + G(x))``, ``G(x) = (cY2*xx^2 + cY1*xx + cY0)/4``,
+  xx = 4x.
+* ``remap_constant_shift_u16`` — the pre-stitch whole-image translation
+  (stitcher.h:92-100): the same kernel with degenerate per-column arrays.
+
+TPU-first structure: the maps are never materialised as (H, W) float arrays
+(the reference's hot loop #2, preproc.h:443-450).  Because mapx depends only
+on the column and mapy is y + G(x), the 4x4 cubic gather decomposes into a
+small *static* set of lane shifts (columns) and sublane shifts (rows),
+selected per pixel by comparison masks — multiply-adds on the VPU, no
+gather unit, no dynamic shapes.  The shift ranges are computed on the host
+from the fitted polynomials and specialise the compiled kernel.
+
+Parity: bit-exact to ops/cv_exact.remap_cubic_u16_exact (same float32
+weight expressions, same interior accumulation order, border value 0), in
+either coordinate convention (``quantized_coords=True`` = OpenCV <= 4.x
+1/32-px grid, False = OpenCV 5.x continuous).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import MSS_BANDS
+
+# ---------------------------------------------------------------------------
+# 4x cubic upsample (exact cv::resize float path at scale 1/4)
+# ---------------------------------------------------------------------------
+
+def _phase_weights_x4() -> np.ndarray:
+    """Weights for the 4 output phases of a x4 cubic upsample.
+
+    Output x = 4k + r maps to source coordinate (x+0.5)/4 - 0.5; phases
+    r in {0,1} have first tap at k-2 with fractions {0.625, 0.875}, phases
+    r in {2,3} first tap k-1 with fractions {0.125, 0.375}.
+    """
+    from .cv_exact import interpolate_cubic_f32
+
+    fr = np.array([0.625, 0.875, 0.125, 0.375], dtype=np.float32)
+    return interpolate_cubic_f32(fr)  # (4 phases, 4 taps)
+
+
+_X4_W = _phase_weights_x4()
+_X4_BASE = (-2, -2, -1, -1)  # first-tap offset per phase
+
+
+def _upsample4_axis(x: jax.Array, axis: int) -> jax.Array:
+    """Upsample one axis by 4 with exact cv::resize cubic semantics
+    (replicate-clamped taps, grouped accumulation order)."""
+    n = x.shape[axis]
+    w = _X4_W
+
+    def take(idx0: int):
+        idx = np.clip(np.arange(n) + idx0, 0, n - 1)
+        return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+    phases = []
+    for r in range(4):
+        b0 = _X4_BASE[r]
+        g0, g1, g2, g3 = take(b0), take(b0 + 1), take(b0 + 2), take(b0 + 3)
+        t = (
+            (g0 * w[r, 0] + g1 * w[r, 1]) + g2 * w[r, 2]
+        ) + g3 * w[r, 3]
+        phases.append(t)
+    ax = axis % x.ndim
+    stacked = jnp.stack(phases, axis=ax + 1)  # (..., n, 4, ...)
+    newshape = list(x.shape)
+    newshape[ax] = n * 4
+    return stacked.reshape(newshape)
+
+
+@jax.jit
+def upsample4_f32(x: jax.Array) -> jax.Array:
+    """cv::resize(src, 4x, INTER_CUBIC) float32 path, exact.
+
+    Horizontal pass then vertical pass (OpenCV's hresize/vresize order).
+    Works on (..., H, W); returns (..., 4H, 4W).
+    """
+    x = x.astype(jnp.float32)
+    x = _upsample4_axis(x, axis=x.ndim - 1)
+    x = _upsample4_axis(x, axis=x.ndim - 2)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Polynomial remap — host-side plan
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RemapPlan:
+    """Per-column map data + static shift ranges for the remap kernel.
+
+    Built on the host in float64 exactly as the reference builds its maps
+    (preproc.h:443-450); the float32 castings below reproduce the
+    reference's float-typed map arrays.
+    """
+
+    width: int
+    col_tap0: np.ndarray      # (W,) int32 first column tap index (may be <0)
+    wx: np.ndarray            # (4, W) float32 column weights
+    g_hi: np.ndarray          # (W,) float32 high part of G(x)
+    g_lo: np.ndarray          # (W,) float32 residual of G(x)
+    col_shifts: tuple[int, ...]   # static range of col_tap0[x] - x
+    row_offsets: tuple[int, ...]  # static range of floor(mapy(y,x)) - y
+    quantized: bool
+
+    @property
+    def halo_top(self) -> int:
+        """Rows of context needed above an output row (tap a=0 at offset
+        row_offsets[0] - 1)."""
+        return max(0, -(self.row_offsets[0] - 1))
+
+    @property
+    def halo_bottom(self) -> int:
+        return max(0, self.row_offsets[-1] + 2)
+
+
+def build_remap_plan(
+    mapx_cols: np.ndarray,
+    g: np.ndarray,
+    quantized_coords: bool = False,
+) -> RemapPlan:
+    """Build a plan from per-column map data.
+
+    ``mapx_cols``: (W,) float64 mapx value per column (row-independent);
+    ``g``: (W,) float64 with mapy(y, x) = float32(y + g[x]).
+    """
+    from .cv_exact import interpolate_cubic_f32
+
+    mapx_cols = np.asarray(mapx_cols, np.float64)
+    g = np.asarray(g, np.float64)
+    w = mapx_cols.shape[0]
+    mx32 = mapx_cols.astype(np.float32)
+
+    if quantized_coords:
+        sx = np.rint(mx32 * np.float32(32.0)).astype(np.int64)
+        ix = np.clip(sx >> 5, -32768, 32767).astype(np.int32)
+        fx = ((sx & 31).astype(np.float32)) * np.float32(1.0 / 32.0)
+    else:
+        ix = np.floor(mx32).astype(np.int32)
+        fx = (mx32 - ix).astype(np.float32)
+    wx = interpolate_cubic_f32(fx).T.astype(np.float32)  # (4, W)
+    col_tap0 = (ix - 1).astype(np.int32)
+
+    g_hi = g.astype(np.float32)
+    g_lo = (g - g_hi.astype(np.float64)).astype(np.float32)
+
+    d = col_tap0 - np.arange(w, dtype=np.int32)
+    col_shifts = tuple(range(int(d.min()), int(d.max()) + 1))
+    r_lo = int(np.floor(g.min())) - 1
+    r_hi = int(np.floor(g.max())) + 1
+    if quantized_coords:
+        r_hi += 1  # 1/32 rounding can carry across the next integer
+    row_offsets = tuple(range(r_lo, r_hi + 1))
+    return RemapPlan(
+        width=w,
+        col_tap0=col_tap0,
+        wx=wx,
+        g_hi=g_hi,
+        g_lo=g_lo,
+        col_shifts=col_shifts,
+        row_offsets=row_offsets,
+        quantized=quantized_coords,
+    )
+
+
+def plan_for_band_alignment(
+    coeff_x, coeff_y, width: int, quantized_coords: bool = False
+) -> RemapPlan:
+    """Alignment maps from the fitted shift polynomials (preproc.h:443-450):
+    mapx = (cX1*xx + cX0 + xx)/B, G = (cY2*xx^2 + cY1*xx + cY0)/B, xx = B*x,
+    B = MSS_BANDS."""
+    x = np.arange(width, dtype=np.float64)
+    xx = x * MSS_BANDS
+    mapx = (float(coeff_x[1]) * xx + float(coeff_x[0]) + xx) / MSS_BANDS
+    g = (
+        float(coeff_y[2]) * xx * xx + float(coeff_y[1]) * xx + float(coeff_y[0])
+    ) / MSS_BANDS
+    return build_remap_plan(mapx, g, quantized_coords)
+
+
+def plan_for_constant_shift(
+    dx: float, dy: float, width: int, quantized_coords: bool = False
+) -> RemapPlan:
+    """Pre-stitch translation maps (stitcher.h:93-99): mapx = x + dx,
+    mapy = y + dy, computed in double and stored as float32 like the
+    reference's map fill."""
+    x = np.arange(width, dtype=np.float64) + float(dx)
+    return build_remap_plan(x, np.full(width, float(dy), np.float64), quantized_coords)
+
+
+# ---------------------------------------------------------------------------
+# Polynomial remap — device math (pure XLA; jit/shard_map/pallas friendly)
+# ---------------------------------------------------------------------------
+
+def _cubic_weights_f32(t):
+    """In-kernel float32 cubic weights, same expression order as the oracle
+    (cv_exact.interpolate_cubic_f32) for bit parity."""
+    f32 = jnp.float32
+    A = f32(-0.75)
+    one, two, three, four, five, eight = (f32(c) for c in (1, 2, 3, 4, 5, 8))
+    tp1 = t + one
+    w0 = ((A * tp1 - five * A) * tp1 + eight * A) * tp1 - four * A
+    w1 = ((A + two) * t - (A + three)) * t * t + one
+    omt = one - t
+    w2 = ((A + two) * omt - (A + three)) * omt * omt + one
+    w3 = one - w0 - w1 - w2
+    return w0, w1, w2, w3
+
+
+def _remap_section_math(
+    src_halo: jax.Array,     # (TR + halo_top + halo_bottom, W) f32, zero-padded
+    y0: jax.Array | int,     # absolute row index of output row 0
+    tr: int,                 # output rows
+    wx: jax.Array,           # (4, W) f32
+    colsel: jax.Array,       # (S_col, W) f32 one-hot of col shift per column
+    colvalid: jax.Array,     # (4, S_col, W) f32: tap-in-image masks
+    g_hi: jax.Array,         # (W,) f32
+    g_lo: jax.Array,         # (W,) f32
+    *,
+    col_shifts: tuple[int, ...],
+    row_offsets: tuple[int, ...],
+    halo_top: int,
+    quantized: bool,
+):
+    """Remap ``tr`` output rows.  ``src_halo`` row k holds source row
+    ``y0 - halo_top + k`` (zeros outside the section)."""
+    f32 = jnp.float32
+    width = src_halo.shape[1]
+    halo_rows = src_halo.shape[0]
+
+    # --- column gather: colg[b][k, x] = src_halo[k, x + d[x] + b - 1] or 0
+    colg = []
+    for b in range(4):
+        acc = jnp.zeros_like(src_halo)
+        for s_idx, s in enumerate(col_shifts):
+            shift = s + b          # tap index = x + (col_tap0[x]-x) + b
+            rolled = jnp.roll(src_halo, -shift, axis=1)
+            sel = colsel[s_idx] * colvalid[b, s_idx]
+            acc = acc + rolled * sel[None, :]
+        colg.append(acc)
+
+    # --- vertical coordinate v = float32(y + G(x)), double-compensated so it
+    # matches the reference's float((double)y + G64) map fill to the last ulp
+    y_abs = (
+        jnp.arange(tr, dtype=jnp.int32)[:, None]
+        + jnp.asarray(y0, jnp.int32)
+    )
+    a = y_abs.astype(f32)
+    bhi = g_hi[None, :]
+    s_ = a + bhi
+    bb = s_ - a
+    err = (a - (s_ - bb)) + (bhi - bb)
+    v = s_ + (err + g_lo[None, :])
+
+    if quantized:
+        sq = jnp.rint(v * f32(32.0)).astype(jnp.int32)
+        iy = jnp.clip(jnp.right_shift(sq, 5), -32768, 32767)
+        fy = (sq & 31).astype(f32) * f32(1.0 / 32.0)
+    else:
+        ivf = jnp.floor(v)
+        iy = ivf.astype(jnp.int32)
+        fy = v - ivf
+    r_off = iy - y_abs
+    wys = _cubic_weights_f32(fy)
+
+    wxb = [wx[b][None, :] for b in range(4)]
+
+    # --- row gather + 4x4 accumulation, factored by static row offset t
+    acc = jnp.zeros((tr, width), dtype=f32)
+    for t in row_offsets:
+        inner = jnp.zeros((tr, width), dtype=f32)
+        for ai in range(4):
+            base = halo_top + t - 1 + ai
+            r0 = jax.lax.dynamic_slice_in_dim(colg[0], base, tr, 0) * (
+                wys[ai] * wxb[0]
+            )
+            r1 = jax.lax.dynamic_slice_in_dim(colg[1], base, tr, 0) * (
+                wys[ai] * wxb[1]
+            )
+            r2 = jax.lax.dynamic_slice_in_dim(colg[2], base, tr, 0) * (
+                wys[ai] * wxb[2]
+            )
+            r3 = jax.lax.dynamic_slice_in_dim(colg[3], base, tr, 0) * (
+                wys[ai] * wxb[3]
+            )
+            inner = inner + (((r0 + r1) + r2) + r3)
+        acc = acc + inner * (r_off == t).astype(f32)
+
+    out = jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
+    return out
+
+
+def _plan_device_args(plan: RemapPlan):
+    """Device-side constant arrays derived from a plan."""
+    w = plan.width
+    d = plan.col_tap0 - np.arange(w, dtype=np.int32)
+    s_arr = np.asarray(plan.col_shifts, np.int32)
+    colsel = (d[None, :] == s_arr[:, None]).astype(np.float32)  # (S, W)
+    # tap-in-image masks: tap index x + d + b - 1 in [0, W)
+    xs = np.arange(w, dtype=np.int64)
+    colvalid = np.zeros((4, len(plan.col_shifts), w), np.float32)
+    for b in range(4):
+        for si, s in enumerate(plan.col_shifts):
+            tap = xs + s + b
+            colvalid[b, si] = ((tap >= 0) & (tap < w)).astype(np.float32)
+    return (
+        jnp.asarray(plan.wx),
+        jnp.asarray(colsel),
+        jnp.asarray(colvalid),
+        jnp.asarray(plan.g_hi),
+        jnp.asarray(plan.g_lo),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("col_shifts", "row_offsets", "halo_top", "quantized"),
+)
+def _remap_section_jit(
+    src, wx, colsel, colvalid, g_hi, g_lo,
+    *, col_shifts, row_offsets, halo_top, quantized,
+):
+    rows = src.shape[0]
+    halo_bottom = row_offsets[-1] + 2
+    pad_top = max(0, halo_top)
+    pad_bot = max(0, halo_bottom)
+    srcf = src.astype(jnp.float32)
+    src_halo = jnp.pad(srcf, ((pad_top, pad_bot), (0, 0)))
+    return _remap_section_math(
+        src_halo,
+        0,
+        rows,
+        wx,
+        colsel,
+        colvalid,
+        g_hi,
+        g_lo,
+        col_shifts=col_shifts,
+        row_offsets=row_offsets,
+        halo_top=pad_top,
+        quantized=quantized,
+    )
+
+
+def remap_section_u16(src: jax.Array, plan: RemapPlan) -> jax.Array:
+    """Remap a full section (rows, W) uint16 -> (rows, W) uint16.
+
+    Exactly reproduces cv::remap(src_section, mapx, mapy, INTER_CUBIC,
+    BORDER_CONSTANT) with the reference's section-local maps: rows outside
+    the section read as the border value 0 (the reference's section overlap
+    trimming hides those rows, preproc.h:392-407).
+    """
+    args = _plan_device_args(plan)
+    return _remap_section_jit(
+        src,
+        *args,
+        col_shifts=plan.col_shifts,
+        row_offsets=plan.row_offsets,
+        halo_top=plan.halo_top,
+        quantized=plan.quantized,
+    )
+
+
+def remap_polynomial_u16(
+    src: jax.Array, coeff_x, coeff_y, quantized_coords: bool = False
+) -> jax.Array:
+    """Band-alignment remap of one section with fitted polynomials."""
+    plan = plan_for_band_alignment(
+        coeff_x, coeff_y, src.shape[1], quantized_coords
+    )
+    return remap_section_u16(src, plan)
+
+
+def remap_constant_shift_u16(
+    src: jax.Array, dx: float, dy: float, quantized_coords: bool = False
+) -> jax.Array:
+    """Pre-stitch constant-translation remap of one section."""
+    plan = plan_for_constant_shift(dx, dy, src.shape[1], quantized_coords)
+    return remap_section_u16(src, plan)

@@ -1,0 +1,61 @@
+"""Phase-correlation op: parity vs cv2/oracle and batch consistency."""
+
+import numpy as np
+import pytest
+
+from opticalimageprocessor_tpu.ops import cv_exact, phasecorr
+
+
+def test_phase_correlate_integer_shift(rng):
+    base = (rng.random((128, 160)) * 1000).astype(np.float32)
+    shifted = np.roll(np.roll(base, 5, axis=1), -3, axis=0)
+    dx, dy, resp = phasecorr.phase_correlate(base, shifted)
+    assert abs(dx - 5.0) < 0.05
+    assert abs(dy - (-3.0)) < 0.05
+    assert resp > 0.9
+
+
+def test_phase_correlate_matches_oracle_f32(rng):
+    a = (rng.random((96, 200)) * 500).astype(np.float32)
+    b = np.roll(a, 2, axis=1) + rng.normal(0, 5, a.shape).astype(np.float32)
+    dx, dy, resp = phasecorr.phase_correlate(a, b)
+    odx, ody, oresp = cv_exact.phase_correlate(a, b, precision=np.float32)
+    assert abs(dx - odx) < 1e-3
+    assert abs(dy - ody) < 1e-3
+    assert abs(resp - oresp) < 1e-3
+
+
+def test_phase_correlate_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    a = (rng.random((150, 201)) * 1000).astype(np.float32)
+    m = np.float32([[1, 0, -2.4], [0, 1, 1.3]])
+    b = cv2.warpAffine(a, m, (201, 150), flags=cv2.INTER_LINEAR)
+    (cdx, cdy), cresp = cv2.phaseCorrelate(a, b)
+    dx, dy, resp = phasecorr.phase_correlate(a, b)
+    assert abs(dx - cdx) < 2e-3
+    assert abs(dy - cdy) < 2e-3
+    assert abs(resp - cresp) < 1e-3
+
+
+def test_phase_correlate_batch_matches_single(rng):
+    a = (rng.random((6, 64, 80)) * 100).astype(np.float32)
+    b = np.stack([np.roll(x, i % 3, axis=1) for i, x in enumerate(a)])
+    dxs, dys, rs = phasecorr.phase_correlate_batch(a, b)
+    for i in range(a.shape[0]):
+        dx, dy, r = phasecorr.phase_correlate(a[i], b[i])
+        assert abs(float(dxs[i]) - dx) < 1e-5
+        assert abs(float(dys[i]) - dy) < 1e-5
+        assert abs(float(rs[i]) - r) < 1e-5
+
+
+def test_polyfit_recovers_model(rng):
+    from opticalimageprocessor_tpu.ops import polyfit
+
+    cx = np.linspace(100, 12000, 40)
+    dx = 0.5 + 1e-4 * cx + rng.normal(0, 1e-6, cx.size)
+    dy = -1.5 + 2e-4 * cx + 3e-9 * cx * cx
+    valid = np.ones(cx.size, bool)
+    valid[5] = False
+    cxc, cyc = polyfit.fit_shift_models(cx, dx, dy, valid)
+    assert abs(cxc[0] - 0.5) < 1e-3 and abs(cxc[1] - 1e-4) < 1e-6
+    assert abs(cyc[0] + 1.5) < 1e-3 and abs(cyc[2] - 3e-9) < 1e-12

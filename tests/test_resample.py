@@ -1,0 +1,93 @@
+"""Resample kernel parity: upsample4 and polynomial remap vs the oracle."""
+
+import numpy as np
+import pytest
+
+from opticalimageprocessor_tpu.ops import cv_exact, resample
+
+
+def test_upsample4_matches_oracle(rng):
+    src = (rng.random((48, 64), dtype=np.float32) * 4096).astype(np.float32)
+    want = cv_exact.resize_cubic_f32_exact(src, 192, 256)
+    got = np.asarray(resample.upsample4_f32(src))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_upsample4_matches_cv2(rng):
+    cv2 = pytest.importorskip("cv2")
+    src = (rng.random((40, 52), dtype=np.float32) * 1000).astype(np.float32)
+    want = cv2.resize(src, (208, 160), interpolation=cv2.INTER_CUBIC)
+    got = np.asarray(resample.upsample4_f32(src))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-2)
+
+
+def _oracle_maps_from_plan(coeff_x, coeff_y, rows, width):
+    """Build the full (rows, W) float32 maps exactly like the reference's
+    per-section map fill (preproc.h:443-450): double math then float cast."""
+    x = np.arange(width, dtype=np.float64)
+    y = np.arange(rows, dtype=np.float64)
+    xx = x * 4.0
+    yy = y * 4.0
+    mapx_col = (coeff_x[1] * xx + coeff_x[0] + xx) / 4.0
+    g = (coeff_y[2] * xx * xx + coeff_y[1] * xx + coeff_y[0]) / 4.0
+    mapx = np.tile(mapx_col.astype(np.float32)[None, :], (rows, 1))
+    mapy = ((yy[:, None] + (coeff_y[2] * xx * xx + coeff_y[1] * xx + coeff_y[0])[None, :]) / 4.0).astype(np.float32)
+    return mapx, mapy
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize(
+    "cx,cy",
+    [
+        ((1.5, 0.0002), (-0.75, 0.0001, 1e-8)),
+        ((-3.25, -0.0004), (2.5, -0.0002, -2e-8)),
+        ((0.0, 0.0), (0.0, 0.0, 0.0)),
+    ],
+)
+def test_remap_polynomial_matches_oracle(cx, cy, quantized, rng):
+    rows, width = 96, 256
+    src = rng.integers(0, 65536, (rows, width), dtype=np.uint16)
+    mapx, mapy = _oracle_maps_from_plan(cx, cy, rows, width)
+    want = cv_exact.remap_cubic_u16_exact(src, mapx, mapy, quantized_coords=quantized)
+    got = np.asarray(
+        resample.remap_polynomial_u16(src, cx, cy, quantized_coords=quantized)
+    )
+    diff = np.abs(want.astype(np.int32) - got.astype(np.int32))
+    assert diff.max() == 0, (
+        f"max {diff.max()} at {np.unravel_index(diff.argmax(), diff.shape)}, "
+        f"count {(diff > 0).sum()}"
+    )
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_remap_polynomial_vs_cv2(quantized):
+    cv2 = pytest.importorskip("cv2")
+    if quantized:
+        pytest.skip("installed cv2 is 5.x (continuous coords)")
+    rng = np.random.default_rng(3)
+    rows, width = 120, 320
+    src = rng.integers(0, 65536, (rows, width), dtype=np.uint16)
+    cx, cy = (2.5, -0.0003), (-1.25, 0.0002, 3e-8)
+    mapx, mapy = _oracle_maps_from_plan(cx, cy, rows, width)
+    want = cv2.remap(src, mapx, mapy, cv2.INTER_CUBIC, borderMode=cv2.BORDER_CONSTANT)
+    got = np.asarray(resample.remap_polynomial_u16(src, cx, cy))
+    diff = np.abs(want.astype(np.int32) - got.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+@pytest.mark.parametrize("dx,dy", [(3.25, -2.5), (-0.875, 0.0), (10.031, 4.97)])
+def test_remap_constant_shift_matches_oracle(dx, dy, rng):
+    rows, width = 64, 200
+    src = rng.integers(0, 65536, (rows, width), dtype=np.uint16)
+    # reference map fill (stitcher.h:93-99): double sums cast to float
+    x32 = (np.arange(width, dtype=np.float64) + float(dx)).astype(np.float32)
+    mapx = np.tile(x32[None, :], (rows, 1))
+    mapy = np.tile(
+        (np.arange(rows, dtype=np.float64) + float(dy)).astype(np.float32)[:, None],
+        (1, width),
+    )
+    want = cv_exact.remap_cubic_u16_exact(src, mapx, mapy)
+    got = np.asarray(resample.remap_constant_shift_u16(src, dx, dy))
+    diff = np.abs(want.astype(np.int32) - got.astype(np.int32))
+    assert diff.max() == 0, f"max {diff.max()}, count {(diff>0).sum()}"
