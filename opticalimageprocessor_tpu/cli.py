@@ -1,0 +1,218 @@
+"""Command-line interface, argument-compatible with the reference binary
+(``main.cpp:92-268``): subcommands ``auxsep`` / ``prestitch`` / ``stitch``
+plus the default inter-band registration+alignment action, with the same
+flag names, defaults, dependency rules, and exit codes (254 usage error /
+2 runtime error / 1 unknown; main.cpp:320-343), so ``DOC/sample-task.sh``
+workflows port directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import constants as C
+
+
+def _build_default_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="oiptpu",
+        description=(
+            "Optical Satellite Image Pre-Processing/Processing Utility "
+            "(TPU-native)"
+        ),
+    )
+    p.add_argument("-v", "--version", action="version", version="1.1")
+    p.add_argument("--pan", default="", help="PAN raw image file path")
+    p.add_argument(
+        "--do-rrc4pan", action="store_true",
+        help="Whether or not do Relative Radiometric Correction for PAN",
+    )
+    p.add_argument(
+        "--rrc-pan", default="",
+        help="Relative Radiometric Correction parameter file path for PAN image",
+    )
+    p.add_argument(
+        "--write-rrcpan", dest="write_rrcpan", action="store_true",
+        help="Whether or not write RRC PAN data as tiff image file",
+    )
+    p.add_argument("--no-rrcpan", dest="write_rrcpan", action="store_false")
+    p.add_argument("--mss", default="", help="MSS raw image file path")
+    p.add_argument(
+        "--no-rrc4mss", dest="do_rrc4mss", action="store_false", default=True,
+        help="Skip Relative Radiometric Correction for MSS",
+    )
+    for b in range(1, 5):
+        p.add_argument(
+            f"--rrc-msb{b}", default="",
+            help=(
+                "Relative Radiometric Correction parameter file path for "
+                f"MSS band #{b} (1-based band NO.)"
+            ),
+        )
+    p.add_argument("--slices", type=int, default=C.IBCV_DEF_SLICES)
+    p.add_argument("--ibc-sections", type=int, default=C.IBCV_DEF_SECTIONS)
+    p.add_argument("--ibc-threshold", type=float, default=C.IBCV_DEF_THRESHOLD)
+    p.add_argument("--line-offset", type=int, default=C.IBPA_DEFAULT_LINEOFFSET)
+    p.add_argument("--lines-section", type=int, default=C.IBPA_DEFAULT_BATCHLINES)
+    p.add_argument("--overlap-lines", type=int, default=C.IBPA_DEFAULT_LINEOVERLAP)
+    p.add_argument("-k", "--keep-leading", action="store_true", default=False)
+    p.add_argument("--out-dir", default=None, help="output directory (default cwd)")
+    p.add_argument(
+        "--coord-mode", choices=["continuous", "quantized"], default="continuous",
+        help="resample coordinate convention (OpenCV 5.x / <=4.x parity)",
+    )
+    return p
+
+
+class UsageError(ValueError):
+    pass
+
+
+def _default_action(a) -> int:
+    if not (0.0 <= a.ibc_threshold < 1.0):
+        raise UsageError("invalid threshold value")
+    if a.do_rrc4pan and not a.rrc_pan:
+        raise UsageError("RRC parameter file of PAN needed")
+    rrc_mss = (a.rrc_msb1, a.rrc_msb2, a.rrc_msb3, a.rrc_msb4)
+    if a.do_rrc4mss and any(not f for f in rrc_mss):
+        raise UsageError("RRC parameter file of all MSS Bands needed")
+
+    from .models.preprocessor import PreProcessor
+
+    pp = PreProcessor(
+        a.pan, a.mss, a.rrc_pan, rrc_mss, out_dir=a.out_dir,
+        quantized_coords=a.coord_mode == "quantized",
+    )
+    pp.load_and_rrc(do_rrc_pan=a.do_rrc4pan, do_rrc_mss=a.do_rrc4mss)
+    if a.do_rrc4pan and a.write_rrcpan:
+        pp.write_rrc_pan_tiff(a.line_offset)
+    pp.calc_inter_band_correlation(a.slices, a.ibc_sections, a.ibc_threshold)
+    pp.do_inter_band_alignment(
+        a.lines_section, a.line_offset, a.overlap_lines, a.keep_leading
+    )
+    return 0
+
+
+def _auxsep(argv) -> int:
+    p = argparse.ArgumentParser(prog="oiptpu auxsep",
+                                description="Do aux & image data separation")
+    p.add_argument("-O", "--offset", type=int, default=0,
+                   help="Parse AOS file from specified byte offset")
+    p.add_argument("file", help="AOS or IMDT file path")
+    p.add_argument("--out-dir", default=None)
+    a = p.parse_args(argv)
+
+    from .models.auxsep import AuxSeparator
+
+    AuxSeparator(a.file, a.offset, out_dir=a.out_dir).separate()
+    return 0
+
+
+def _prestitch(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="oiptpu prestitch",
+        description=(
+            "Do preparation parameters calculating & PAN2 pixel correction "
+            "for CMOS stitching"
+        ),
+    )
+    p.add_argument("--pan1", required=True)
+    p.add_argument("--pan2", required=True)
+    p.add_argument("--rrc1", default="")
+    p.add_argument("--rrc2", default="")
+    p.add_argument("-s", "--sections", type=int, default=C.STT_DEF_SECTIONS)
+    p.add_argument("-l", "--section-lines", type=int, default=C.STT_DEF_SECLINES)
+    p.add_argument("--stitch-overlap", type=int, default=C.STT_DEF_OVERLAPPX)
+    p.add_argument("--stt-threshold", type=float, default=C.STT_DEF_PHCTHRHLD)
+    p.add_argument("--stt-maxdeltay", type=float, default=C.STT_DEF_MAXDELTAY)
+    p.add_argument("-e", "--edge-cols", type=int, default=C.STT_DEF_EDGECOLS)
+    p.add_argument("-r", "--rrc", dest="do_rrc", action="store_true", default=True)
+    p.add_argument("--no-rrc", dest="do_rrc", action="store_false")
+    p.add_argument("-c", "--only-calculate", action="store_true", default=False)
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--coord-mode", choices=["continuous", "quantized"],
+                   default="continuous")
+    a = p.parse_args(argv)
+    if a.edge_cols < 0 or a.edge_cols > a.stitch_overlap // 2:
+        raise UsageError("invalid edge cols")
+
+    from .models.stitcher import Stitcher
+
+    st = Stitcher(
+        a.pan1, a.pan2, a.rrc1, a.rrc2, a.sections, a.section_lines,
+        a.stitch_overlap, out_dir=a.out_dir,
+        quantized_coords=a.coord_mode == "quantized",
+    )
+    st.calc_stt_parameters(a.stt_threshold, a.stt_maxdeltay, a.edge_cols)
+    if not a.only_calculate:
+        if a.do_rrc:
+            st.do_rrc()
+        st.pre_stitch()
+    return 0
+
+
+def _stitch(argv) -> int:
+    p = argparse.ArgumentParser(prog="oiptpu stitch",
+                                description="Stitch two PAN or MSS images.")
+    p.add_argument("--image1", required=True, help="Left image file path")
+    p.add_argument("--image2", required=True, help="Right image file path")
+    p.add_argument("-o", "--out", default="")
+    p.add_argument("-c", "--fold-cols", type=int, required=True,
+                   help="Folding cols (in pixel) when stitching two images")
+    p.add_argument("-g", "--GDAL", dest="use_gdal", action="store_true",
+                   default=False)
+    p.add_argument("-m", "--band-map", default="",
+                   help="Map output band order (1-based), i.e '3,2,1,4'")
+    p.add_argument("--out-dir", default=None)
+    a = p.parse_args(argv)
+    if a.fold_cols < 2:
+        raise UsageError("fold column value too small")
+    band_map = None
+    if a.band_map:
+        if not a.use_gdal:
+            raise UsageError("-m needs -g")
+        parts = a.band_map.split(",")
+        if len(parts) != 4:
+            raise UsageError("need 4 band indices")
+        band_map = [int(x) for x in parts]
+        if any(m <= 0 or m > C.MSS_BANDS for m in band_map):
+            raise UsageError("invalid band index")
+
+    from .models.stitcher import stitch
+
+    stitch(
+        a.image1, a.image2, a.out, a.fold_cols // 2, a.use_gdal, band_map,
+        out_dir=a.out_dir,
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    try:
+        if argv and argv[0] == "auxsep":
+            return _auxsep(argv[1:])
+        if argv and argv[0] == "prestitch":
+            return _prestitch(argv[1:])
+        if argv and argv[0] == "stitch":
+            return _stitch(argv[1:])
+        a = _build_default_parser().parse_args(argv)
+        return _default_action(a)
+    except UsageError as e:
+        print(f"USAGE ERROR: {e}.")
+        return 254
+    except (ValueError, RuntimeError, OSError) as e:
+        from .utils.logging import loge
+
+        loge("%s.", e)
+        return 2
+    except Exception:  # noqa: BLE001 — reference maps unknown errors to 1
+        from .utils.logging import loge
+
+        loge("UNKOWN FATAL ERROR OCCURED.")
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,347 @@
+"""Minimal TIFF / BigTIFF reader+writer for uint16 rasters.
+
+Replaces the reference's GDAL/OpenCV TIFF paths (``imageop.h:277-567``,
+``preproc.h:167-185``) without those dependencies: strip-based, little
+endian, uint16, 1 or 4 samples per pixel (chunky), optional LZW compression
+with horizontal differencing predictor 2 — the exact option set the
+reference's GDAL writer uses (``COMPRESS=LZW``, ``PREDICTOR=2``,
+``imageop.h:470-474``).  BigTIFF is selected automatically above 4 GB (GDAL
+``IF_NEEDED`` behaviour) or on request.
+
+Writing streams strip-by-strip (``TiffStripWriter``) so multi-GB rasters
+never materialise in host memory — the streaming counterpart of the
+reference's 20000-line sectioned RasterIO loop (imageop.h:489-558).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils import native
+from ..utils.logging import olog, stage
+
+# TIFF tags
+T_IMAGEWIDTH = 256
+T_IMAGELENGTH = 257
+T_BITSPERSAMPLE = 258
+T_COMPRESSION = 259
+T_PHOTOMETRIC = 262
+T_STRIPOFFSETS = 273
+T_SAMPLESPERPIXEL = 277
+T_ROWSPERSTRIP = 278
+T_STRIPBYTECOUNTS = 279
+T_PLANARCONFIG = 284
+T_PREDICTOR = 317
+T_SAMPLEFORMAT = 339
+T_EXTRASAMPLES = 338
+
+COMPRESSION_NONE = 1
+COMPRESSION_LZW = 5
+
+
+def _predict2_encode(strip: np.ndarray) -> np.ndarray:
+    """Horizontal differencing (predictor 2) on a (rows, w, spp) uint16 view."""
+    out = strip.astype(np.int32)
+    out[:, 1:, :] = out[:, 1:, :] - out[:, :-1, :]
+    return (out & 0xFFFF).astype(np.uint16)
+
+
+@dataclass
+class TiffInfo:
+    width: int
+    height: int
+    samples: int
+    bits: int
+    compression: int
+    predictor: int
+    rows_per_strip: int
+    strip_offsets: np.ndarray
+    strip_counts: np.ndarray
+    bigtiff: bool
+    little_endian: bool
+
+
+class TiffStripWriter:
+    """Streaming strip-based TIFF writer.
+
+    Usage::
+
+        w = TiffStripWriter(path, width, height, samples=4,
+                            compression="lzw", predictor=True)
+        for block in blocks:       # (rows, width) or (rows, width, samples)
+            w.write_rows(block)
+        w.close()
+
+    Strips are written to the file as data arrives; the IFD is emitted on
+    close.  BigTIFF is chosen automatically when the projected size exceeds
+    4 GB (like GDAL's IF_NEEDED) unless forced.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        width: int,
+        height: int,
+        samples: int = 1,
+        rows_per_strip: int = 512,
+        compression: str = "none",
+        predictor: bool = False,
+        bigtiff: bool | None = None,
+        photometric: int | None = None,
+    ):
+        self.path = path
+        self.width = width
+        self.height = height
+        self.samples = samples
+        self.rows_per_strip = min(rows_per_strip, height)
+        self.comp = COMPRESSION_LZW if compression == "lzw" else COMPRESSION_NONE
+        if compression == "lzw" and not native.native_available():
+            olog("native LZW unavailable; writing uncompressed TIFF")
+            self.comp = COMPRESSION_NONE
+        self.predictor = predictor and self.comp == COMPRESSION_LZW
+        projected = width * height * samples * 2
+        self.bigtiff = bool(bigtiff) if bigtiff is not None else projected >= (1 << 32) - (1 << 24)
+        self.photometric = photometric if photometric is not None else (
+            2 if samples >= 3 else 1
+        )
+        self._f = open(path, "wb")
+        if self.bigtiff:
+            self._f.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0))
+            # IFD offset (the final 8 bytes of the 16-byte header) patched on close
+        else:
+            self._f.write(struct.pack("<2sHI", b"II", 42, 0))
+        self._offsets: list[int] = []
+        self._counts: list[int] = []
+        self._rows_written = 0
+        self._pending = np.zeros((0, width, samples), np.uint16)
+
+    def write_rows(self, block: np.ndarray) -> None:
+        block = np.asarray(block, dtype=np.uint16)
+        if block.ndim == 2:
+            block = block[:, :, None]
+        assert block.shape[1] == self.width and block.shape[2] == self.samples
+        self._pending = (
+            block
+            if self._pending.shape[0] == 0
+            else np.concatenate([self._pending, block], axis=0)
+        )
+        while self._pending.shape[0] >= self.rows_per_strip:
+            self._emit_strip(self._pending[: self.rows_per_strip])
+            self._pending = self._pending[self.rows_per_strip :]
+
+    def _emit_strip(self, strip: np.ndarray) -> None:
+        if self.predictor:
+            strip = _predict2_encode(strip)
+        raw = np.ascontiguousarray(strip).tobytes()
+        if self.comp == COMPRESSION_LZW:
+            enc = native.lzw_encode(raw)
+            data = enc if enc is not None and len(enc) < len(raw) * 2 else raw
+            if enc is None:
+                raise RuntimeError("LZW requested but unavailable")
+            data = enc
+        else:
+            data = raw
+        self._offsets.append(self._f.tell())
+        self._counts.append(len(data))
+        self._f.write(data)
+        self._rows_written += strip.shape[0]
+
+    def close(self) -> None:
+        if self._pending.shape[0] > 0:
+            self._emit_strip(self._pending)
+            self._pending = self._pending[:0]
+        if self._rows_written != self.height:
+            raise ValueError(
+                f"wrote {self._rows_written} rows, expected {self.height}"
+            )
+        self._write_ifd()
+        self._f.close()
+
+    # -- IFD helpers --------------------------------------------------------
+    def _write_ifd(self) -> None:
+        f = self._f
+        big = self.bigtiff
+        n_strips = len(self._offsets)
+        off_type = 16 if big else 4  # LONG8 / LONG
+        inline_cap = 8 if big else 4
+        type_fmt = {1: "B", 3: "H", 4: "I", 16: "Q"}
+        type_size = {1: 1, 3: 2, 4: 4, 16: 8}
+
+        raw_entries: list[tuple[int, int, list[int]]] = [
+            (T_IMAGEWIDTH, 4, [self.width]),
+            (T_IMAGELENGTH, 4, [self.height]),
+            (T_BITSPERSAMPLE, 3, [16] * self.samples),
+            (T_COMPRESSION, 3, [self.comp]),
+            (T_PHOTOMETRIC, 3, [self.photometric]),
+            (T_STRIPOFFSETS, off_type, list(self._offsets)),
+            (T_SAMPLESPERPIXEL, 3, [self.samples]),
+            (T_ROWSPERSTRIP, 4, [self.rows_per_strip]),
+            (T_STRIPBYTECOUNTS, off_type, list(self._counts)),
+            (T_SAMPLEFORMAT, 3, [1] * self.samples),
+        ]
+        if self.predictor:
+            raw_entries.append((T_PREDICTOR, 3, [2]))
+        if self.samples == 4:
+            raw_entries.append((T_EXTRASAMPLES, 3, [0]))
+        raw_entries.sort(key=lambda entry: entry[0])
+
+        # first pass: write out-of-line arrays, record value field per entry
+        packed: list[tuple[int, int, int, int]] = []
+        for tag, typ, values in raw_entries:
+            size = type_size[typ] * len(values)
+            fmt = type_fmt[typ]
+            if size <= inline_cap:
+                data = struct.pack(f"<{len(values)}{fmt}", *values)
+                data = data.ljust(inline_cap, b"\x00")
+                (value,) = struct.unpack("<Q" if big else "<I", data)
+            else:
+                value = f.tell()
+                f.write(struct.pack(f"<{len(values)}{fmt}", *values))
+            packed.append((tag, typ, len(values), value))
+
+        ifd_pos = f.tell()
+        if big:
+            f.write(struct.pack("<Q", len(packed)))
+            for tag, typ, count, value in packed:
+                f.write(struct.pack("<HHQQ", tag, typ, count, value))
+            f.write(struct.pack("<Q", 0))
+            f.seek(8)
+            f.write(struct.pack("<Q", ifd_pos))
+        else:
+            f.write(struct.pack("<H", len(packed)))
+            for tag, typ, count, value in packed:
+                f.write(struct.pack("<HHII", tag, typ, count, value))
+            f.write(struct.pack("<I", 0))
+            f.seek(4)
+            f.write(struct.pack("<I", ifd_pos))
+
+
+def write_tiff(
+    path: str,
+    image: np.ndarray,
+    compression: str = "none",
+    predictor: bool = False,
+    bigtiff: bool | None = None,
+    rows_per_strip: int = 512,
+) -> None:
+    """Write a whole (H, W) or (H, W, S) uint16 raster."""
+    h = image.shape[0]
+    w = image.shape[1]
+    s = 1 if image.ndim == 2 else image.shape[2]
+    nbytes = image.size * 2
+    with stage(f"write_tiff:{os.path.basename(path)}", nbytes):
+        tw = TiffStripWriter(
+            path, w, h, s,
+            rows_per_strip=rows_per_strip,
+            compression=compression,
+            predictor=predictor,
+            bigtiff=bigtiff,
+        )
+        tw.write_rows(image)
+        tw.close()
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+def _read_ifd(f, big: bool, le: bool):
+    e = "<" if le else ">"
+    if big:
+        (n,) = struct.unpack(e + "Q", f.read(8))
+        entries = [struct.unpack(e + "HHQQ", f.read(20)) for _ in range(n)]
+        (nxt,) = struct.unpack(e + "Q", f.read(8))
+    else:
+        (n,) = struct.unpack(e + "H", f.read(2))
+        entries = [struct.unpack(e + "HHII", f.read(12)) for _ in range(n)]
+        (nxt,) = struct.unpack(e + "I", f.read(4))
+    return entries, nxt
+
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 16: 8, 17: 8, 13: 4}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 16: "Q"}
+
+
+def _tag_values(f, typ, count, value, big: bool, le: bool):
+    e = "<" if le else ">"
+    size = _TYPE_SIZE.get(typ, 1) * count
+    inline_cap = 8 if big else 4
+    fmt = _TYPE_FMT.get(typ)
+    if fmt is None:
+        return [value]
+    if size <= inline_cap:
+        # value field holds the data packed little-endian; reinterpret
+        raw = struct.pack(e + ("Q" if big else "I"), value)
+        return list(struct.unpack(e + f"{count}{fmt}", raw[:size]))
+    pos = f.tell()
+    f.seek(value)
+    vals = list(struct.unpack(e + f"{count}{fmt}", f.read(size)))
+    f.seek(pos)
+    return vals
+
+
+def read_tiff_info(path: str) -> TiffInfo:
+    with open(path, "rb") as f:
+        hdr = f.read(4)
+        le = hdr[:2] == b"II"
+        e = "<" if le else ">"
+        magic = struct.unpack(e + "H", hdr[2:4])[0]
+        big = magic == 43
+        if big:
+            f.read(4)  # bytesize of offsets + pad
+            (ifd_off,) = struct.unpack(e + "Q", f.read(8))
+        else:
+            (ifd_off,) = struct.unpack(e + "I", f.read(4))
+        f.seek(ifd_off)
+        entries, _ = _read_ifd(f, big, le)
+        tags = {}
+        for tag, typ, count, value in entries:
+            tags[tag] = _tag_values(f, typ, count, value, big, le)
+        h = int(tags[T_IMAGELENGTH][0])
+        return TiffInfo(
+            width=int(tags[T_IMAGEWIDTH][0]),
+            height=h,
+            samples=int(tags.get(T_SAMPLESPERPIXEL, [1])[0]),
+            bits=int(tags[T_BITSPERSAMPLE][0]),
+            compression=int(tags.get(T_COMPRESSION, [1])[0]),
+            predictor=int(tags.get(T_PREDICTOR, [1])[0]),
+            rows_per_strip=int(tags.get(T_ROWSPERSTRIP, [h])[0]),
+            strip_offsets=np.asarray(tags[T_STRIPOFFSETS], np.int64),
+            strip_counts=np.asarray(tags[T_STRIPBYTECOUNTS], np.int64),
+            bigtiff=big,
+            little_endian=le,
+        )
+
+
+def read_tiff(path: str) -> np.ndarray:
+    """Read a strip-based uint16 TIFF (compression none/LZW, predictor 1/2).
+
+    Returns (H, W) or (H, W, S) uint16.
+    """
+    info = read_tiff_info(path)
+    if info.bits != 16:
+        raise ValueError(f"only 16-bit TIFFs supported, got {info.bits}")
+    if info.compression not in (COMPRESSION_NONE, COMPRESSION_LZW):
+        raise ValueError(f"unsupported compression {info.compression}")
+    out = np.empty((info.height, info.width, info.samples), np.uint16)
+    row = 0
+    with open(path, "rb") as f:
+        for off, cnt in zip(info.strip_offsets, info.strip_counts):
+            rows = min(info.rows_per_strip, info.height - row)
+            want = rows * info.width * info.samples * 2
+            f.seek(off)
+            data = f.read(int(cnt))
+            if info.compression == COMPRESSION_LZW:
+                data = native.lzw_decode(data, want)
+            arr = np.frombuffer(data[:want], dtype="<u2" if info.little_endian else ">u2")
+            strip = arr.reshape(rows, info.width, info.samples).astype(np.uint16)
+            if info.predictor == 2:
+                acc = np.cumsum(strip.astype(np.uint64), axis=1)
+                strip = (acc & 0xFFFF).astype(np.uint16)
+            out[row : row + rows] = strip
+            row += rows
+    return out[..., 0] if info.samples == 1 else out

@@ -98,6 +98,44 @@ def upsample4_f32(x: jax.Array) -> jax.Array:
     return x
 
 
+def _resize_axis_generic(x: jax.Array, axis: int, dn: int) -> jax.Array:
+    """General cv::resize INTER_CUBIC along one axis (float path):
+    per-output-index taps/weights precomputed on host, replicate-clamped."""
+    from .cv_exact import interpolate_cubic_f32
+
+    sn = x.shape[axis]
+    scale = sn / dn
+    dxs = np.arange(dn, dtype=np.float64)
+    fxx = (dxs + 0.5) * scale - 0.5
+    sx = np.floor(fxx).astype(np.int64)
+    fx = (fxx - sx).astype(np.float32)
+    w = interpolate_cubic_f32(fx)  # (dn, 4)
+    taps = np.clip(sx[:, None] + np.arange(-1, 3)[None, :], 0, sn - 1)
+
+    shape = [1] * x.ndim
+    shape[axis % x.ndim] = dn
+
+    def take(j):
+        return jnp.take(x, jnp.asarray(taps[:, j]), axis=axis)
+
+    def wj(j):
+        return jnp.asarray(w[:, j]).reshape(shape)
+
+    return (
+        (take(0) * wj(0) + take(1) * wj(1)) + take(2) * wj(2)
+    ) + take(3) * wj(3)
+
+
+@functools.partial(jax.jit, static_argnames=("dst_h", "dst_w"))
+def resize_cubic_f32(x: jax.Array, dst_h: int, dst_w: int) -> jax.Array:
+    """General cv::resize(src, (dst_w, dst_h), INTER_CUBIC) float path,
+    horizontal then vertical (matches ops/cv_exact.resize_cubic_f32_exact)."""
+    x = x.astype(jnp.float32)
+    x = _resize_axis_generic(x, x.ndim - 1, dst_w)
+    x = _resize_axis_generic(x, x.ndim - 2, dst_h)
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Polynomial remap — host-side plan
 # ---------------------------------------------------------------------------

@@ -1,0 +1,272 @@
+"""End-to-end pipeline tests on small synthetic scenes (virtual CPU devices).
+
+The reference ships no test data; these scenes are synthesised from the
+frame/geometry specs so every stage (auxsep -> RRC -> register -> align ->
+prestitch -> stitch) can be exercised and cross-checked.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from opticalimageprocessor_tpu.formats import aos, rrc_csv
+
+PPL = 1024          # test-scale line width (camera default is 12288)
+BAND_PX = PPL // 4
+
+
+def _smooth_field(rng, h, w, scale=40):
+    """Smooth random terrain so phase correlation has structure to lock on."""
+    small = rng.random((h // scale + 2, w // scale + 2))
+    try:
+        import cv2
+
+        f = cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC)
+    except ImportError:
+        f = np.kron(small, np.ones((scale, scale)))[:h, :w]
+    f = f + 0.05 * rng.random((h, w))
+    return (f * 20000 + 3000).astype(np.uint16)
+
+
+def _write_identity_rrc(tmp_path, name, cols, k=1.0, b=0.0):
+    p = str(tmp_path / name)
+    rrc_csv.save_rrc_params(p, np.tile([[k, b]], (cols, 1)))
+    return p
+
+
+def test_auxsep_roundtrip(tmp_path, rng):
+    """Synthetic AOS downlink -> AuxSeparator -> recover PAN/MSS/AUX."""
+    from opticalimageprocessor_tpu.models.auxsep import AuxSeparator
+
+    n_frames = 2
+    pan = rng.integers(0, 65536, (1024 * n_frames, 12288), dtype=np.uint16)
+    mss = rng.integers(0, 65536, (256 * n_frames, 12288), dtype=np.uint16)
+    aux = bytes(rng.integers(0, 256, aos.IMGSIG_AUX_ALLBYTES, dtype=np.uint8))
+
+    imdt = b"".join(
+        aos.build_image_frame(
+            pan[i * 1024 : (i + 1) * 1024],
+            mss[i * 256 : (i + 1) * 256],
+            seq=i + 1,
+            aux=aux,
+        )
+        for i in range(n_frames)
+    )
+    imtr_frames = b"".join(
+        aos.build_imtr_frame(pl, i + 1)
+        for i, pl in enumerate(aos.split_stream_into_imtr_payload(imdt))
+    )
+    aos_stream = b"JUNKHEADER" + b"".join(
+        aos.build_aos_frame(pl, i)
+        for i, pl in enumerate(aos.split_stream_into_aos_payload(imtr_frames))
+    ) + aos.build_empty_aos_frame()
+
+    aos_path = str(tmp_path / "KASHI_TJ3-01_20220817_031259_1.dat")
+    with open(aos_path, "wb") as f:
+        f.write(aos_stream)
+
+    sep = AuxSeparator(aos_path, out_dir=str(tmp_path))
+    outs = sep.separate()
+
+    got_pan = np.fromfile(outs["pan"], dtype="<u2").reshape(-1, 12288)
+    got_mss = np.fromfile(outs["mss"], dtype="<u2").reshape(-1, 12288)
+    got_aux = open(outs["aux"], "rb").read()
+    assert os.path.basename(sep.imdt_file) == (
+        "KASHI_TJ3-01_CMOS-1_20220817_031259.IMDT"
+    )
+    np.testing.assert_array_equal(got_pan, pan)
+    np.testing.assert_array_equal(got_mss, mss)
+    assert got_aux == aux * n_frames
+
+
+def test_auxsep_zero_fill_missing_frames(tmp_path, rng):
+    from opticalimageprocessor_tpu.models.auxsep import AuxSeparator
+
+    pan = rng.integers(0, 65536, (1024, 12288), dtype=np.uint16)
+    mss = rng.integers(0, 65536, (256, 12288), dtype=np.uint16)
+    # frames 1 and 3: frame 2 missing -> zero filled
+    imdt = aos.build_image_frame(pan, mss, seq=1) + aos.build_image_frame(
+        pan, mss, seq=3
+    )
+    p = str(tmp_path / "x.IMDT")
+    with open(p, "wb") as f:
+        f.write(imdt)
+    outs = AuxSeparator(p, out_dir=str(tmp_path)).separate()
+    got_pan = np.fromfile(outs["pan"], dtype="<u2").reshape(-1, 12288)
+    assert got_pan.shape[0] == 3 * 1024
+    np.testing.assert_array_equal(got_pan[:1024], pan)
+    assert not got_pan[1024:2048].any()
+    np.testing.assert_array_equal(got_pan[2048:], pan)
+
+
+@pytest.fixture(scope="module")
+def synthetic_scene(tmp_path_factory):
+    """A physically consistent scene: a band-resolution noise field S is the
+    'ground truth'; PAN is its 4x cubic upsample and each MSS band sees S
+    rolled by a known integer shift.  Because the upsample filter commutes
+    with translation, phase correlation of (PAN, upsample4(band)) recovers
+    exactly 4x the band shift — no resampling phase offset."""
+    rng = np.random.default_rng(42)
+    tmp = tmp_path_factory.mktemp("scene")
+    lines_mss = 1600
+    lines_pan = lines_mss * 4
+
+    s = rng.integers(2000, 42000, (lines_mss, BAND_PX)).astype(np.uint16)
+
+    from opticalimageprocessor_tpu.ops import resample
+
+    pan = np.asarray(resample.upsample4_f32(s.astype(np.float32)))
+    pan = np.clip(np.rint(pan), 0, 65535).astype(np.uint16)
+    assert pan.shape == (lines_pan, PPL)
+
+    # integer band shifts in *band* pixels -> expected measurement = 4x
+    band_vy = [0, -1, 1, 0]
+    band_vx = [1, 0, -1, 2]
+    bands = [
+        np.roll(np.roll(s, band_vy[b], axis=0), band_vx[b], axis=1)
+        for b in range(4)
+    ]
+
+    mss_interleaved = np.stack(bands, axis=1).reshape(lines_mss, PPL)
+    pan_path = str(tmp / "scene.PAN.RAW")
+    mss_path = str(tmp / "scene.MSS.RAW")
+    pan.astype("<u2").tofile(pan_path)
+    mss_interleaved.astype("<u2").tofile(mss_path)
+    return {
+        "tmp": tmp,
+        "pan": pan_path,
+        "mss": mss_path,
+        "vy": band_vy,
+        "vx": band_vx,
+        "scene": s,
+        "pan_arr": pan,
+    }
+
+
+def test_preprocessor_end_to_end(synthetic_scene, tmp_path):
+    from opticalimageprocessor_tpu.io import tiff as tiff_io
+    from opticalimageprocessor_tpu.models.preprocessor import PreProcessor
+
+    sc = synthetic_scene
+    rrc_pan = _write_identity_rrc(tmp_path, "pan.rrc", PPL)
+    rrc_mss = tuple(
+        _write_identity_rrc(tmp_path, f"mss{b}.rrc", BAND_PX) for b in range(4)
+    )
+    pp = PreProcessor(
+        sc["pan"], sc["mss"], rrc_pan, rrc_mss, out_dir=str(tmp_path),
+        pixels_per_line=PPL,
+    )
+    pp.load_and_rrc(do_rrc_pan=True, do_rrc_mss=True)
+    pp.calc_inter_band_correlation(slices=8, sections=1, threshold=0.1)
+
+    # measured shifts = 4x the constructed band shifts (roll moves content
+    # forward; phaseCorrelate(a, roll(a, +v)) returns +v)
+    for b in range(4):
+        mean_dx = np.mean([s.dx for s in pp.band_shifts[b]])
+        mean_dy = np.mean([s.dy for s in pp.band_shifts[b]])
+        assert abs(mean_dx - 4 * sc["vx"][b]) < 0.35, (b, mean_dx)
+        assert abs(mean_dy - 4 * sc["vy"][b]) < 0.35, (b, mean_dy)
+
+    out = pp.do_inter_band_alignment(
+        line_per_section=1600, section_overlap=20, write_tiff=True
+    )
+    assert os.path.exists(out)
+    img = tiff_io.read_tiff(out)
+    assert img.shape == (1600 - 20, BAND_PX, 4)
+
+    # alignment must undo the constructed shifts: every output channel should
+    # match the shared scene S (interior, away from roll wrap and overlap)
+    # channel order on disk is [2,1,0,3] (cv::imwrite BGRA->RGBA parity)
+    interior = np.s_[100:1400, 32:-32]
+    sref = sc["scene"][20:1600][interior].astype(float)
+    for ch, band in zip([2, 1, 0, 3], range(4)):
+        got = img[..., ch][interior].astype(float)
+        corr = np.corrcoef(got.ravel(), sref.ravel())[0, 1]
+        assert corr > 0.9, (band, corr)
+
+
+def test_prestitch_and_stitch_raw(tmp_path, rng):
+    from opticalimageprocessor_tpu.models import stitcher as st
+
+    lines = 1200
+    overlap = 64
+    # full-spectrum content so the overlap-strip correlation locks crisply
+    terrain = rng.integers(2000, 42000, (lines + 16, PPL * 2)).astype(np.uint16)
+    # CMOS1 = left part, CMOS2 = overlapping right part shifted by known dx/dy
+    pan1 = terrain[4 : 4 + lines, :PPL]
+    shift_x, shift_y = 3, 2   # CMOS2 sees the scene shifted
+    pan2 = terrain[
+        4 + shift_y : 4 + lines + shift_y,
+        PPL - overlap + shift_x : 2 * PPL - overlap + shift_x,
+    ]
+    p1 = str(tmp_path / "cmos1.PAN.RAW")
+    p2 = str(tmp_path / "cmos2.PAN.RAW")
+    pan1.astype("<u2").tofile(p1)
+    pan2.astype("<u2").tofile(p2)
+
+    s = st.Stitcher(
+        p1, p2, sections=3, line_per_section=256, overlap_cols=overlap,
+        out_dir=str(tmp_path), pixels_per_line=PPL,
+    )
+    s.calc_stt_parameters(threshold=0.05)
+    # dx should reflect the constructed overlap displacement
+    assert abs(abs(s.delta_y) - shift_y) < 0.5, s.delta_y
+
+    n_lines = s.pre_stitch()
+    assert os.path.exists(s.prestt_file_pan2)
+
+    out = st.stitch(
+        p1, s.prestt_file_pan2,
+        str(tmp_path / "stitched.RAW"), fold_cols_half=overlap // 2,
+        pixels_per_line=PPL,
+    )
+    got = np.fromfile(out, dtype="<u2").reshape(lines, -1)
+    assert got.shape[1] == (PPL - overlap // 2) * 2
+
+
+def test_stitch_tiff_with_band_map(tmp_path, rng):
+    from opticalimageprocessor_tpu.io import tiff as tiff_io
+    from opticalimageprocessor_tpu.models.stitcher import stitch
+
+    h, w = 96, 128
+    left = rng.integers(0, 65536, (h, w, 4), dtype=np.uint16)
+    right = rng.integers(0, 65536, (h, w, 4), dtype=np.uint16)
+    lp = str(tmp_path / "L.TIFF")
+    rp = str(tmp_path / "R.TIFF")
+    tiff_io.write_tiff(lp, left)
+    tiff_io.write_tiff(rp, right)
+    out = stitch(
+        lp, rp, str(tmp_path / "S.TIFF"), fold_cols_half=8,
+        use_gdal_style=True, band_map=[3, 2, 1, 4],
+    )
+    got = tiff_io.read_tiff(out)
+    assert got.shape == (h, (w - 8) * 2, 4)
+    want_left = left[:, : w - 8, [2, 1, 0, 3]]
+    np.testing.assert_array_equal(got[:, : w - 8], want_left)
+    np.testing.assert_array_equal(got[:, w - 8 :], right[:, 8:, [2, 1, 0, 3]])
+
+
+def test_cli_stitch_and_exit_codes(tmp_path, rng):
+    from opticalimageprocessor_tpu import cli
+
+    h, w = 32, 64
+    a = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    b = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    pa = str(tmp_path / "a.RAW")
+    pb = str(tmp_path / "b.RAW")
+    a.astype("<u2").tofile(pa)
+    b.astype("<u2").tofile(pb)
+    # fold too small -> usage error 254
+    assert cli.main(["stitch", "--image1", pa, "--image2", pb, "-c", "1"]) == 254
+    # -m without -g -> usage error
+    assert (
+        cli.main(
+            ["stitch", "--image1", pa, "--image2", pb, "-c", "4", "-m", "1,2,3,4"]
+        )
+        == 254
+    )
+    # mixed types -> error 2
+    assert (
+        cli.main(["stitch", "--image1", pa, "--image2", "x.TIFF", "-c", "4"]) == 2
+    )
