@@ -1,0 +1,176 @@
+"""End-to-end device benchmark: RRC + register + resample + stitch.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Gpix/s", "vs_baseline": N/2.0}
+
+Baseline (BASELINE.json north star): >= 2 Gpix/s/chip end-to-end.  The
+benchmark holds a synthetic full-width scene in HBM and times the full
+device pipeline of the default command plus the prestitch/stitch legs:
+
+  RRC(PAN) -> RRC(4 MSS bands) -> phase-correlation registration
+  (sections x slices tile batch) -> per-band alignment resample ->
+  constant-shift prestitch resample of the second CMOS -> seam concat.
+
+Pixels counted = every pixel ingested by the pipeline (PAN + MSS + PAN2),
+matching the reference's own MB/s accounting which instruments each stage
+over its input bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from opticalimageprocessor_tpu.constants import (
+        MSS_BANDS,
+        PIXELS_PER_LINE,
+        PIXELS_PER_MSSBAND,
+    )
+    from opticalimageprocessor_tpu.ops import phasecorr, resample, rrc
+    from opticalimageprocessor_tpu.parallel.sharded import (
+        remap_band_dynamic_chunked,
+        _fit_poly,
+    )
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if on_tpu:
+        lines_pan, slices, n_iters = 16384, 10, 8
+    else:  # CI/CPU smoke mode
+        lines_pan, slices, n_iters = 2048, 8, 2
+    lines_mss = lines_pan // MSS_BANDS
+    corr_rows = min(lines_pan, 16000)
+
+    rng = np.random.default_rng(0)
+    pan = jnp.asarray(
+        rng.integers(0, 65536, (lines_pan, PIXELS_PER_LINE), dtype=np.uint16)
+    )
+    mss = jnp.asarray(
+        rng.integers(
+            0, 65536, (MSS_BANDS, lines_mss, PIXELS_PER_MSSBAND),
+            dtype=np.uint16,
+        )
+    )
+    k = 0.98 + 0.04 * rng.random(PIXELS_PER_LINE)
+    b = rng.normal(0, 20, PIXELS_PER_LINE)
+    pan_params = jnp.asarray(rrc.split_rrc_params(k, b))
+    mss_params = jnp.asarray(
+        np.stack(
+            [
+                rrc.split_rrc_params(
+                    0.98 + 0.04 * rng.random(PIXELS_PER_MSSBAND),
+                    rng.normal(0, 20, PIXELS_PER_MSSBAND),
+                )
+                for _ in range(MSS_BANDS)
+            ]
+        )
+    )
+
+    cols = PIXELS_PER_LINE // slices
+    bcols = cols // MSS_BANDS
+    brows = corr_rows // MSS_BANDS
+
+    from opticalimageprocessor_tpu.ops.cv_exact import get_optimal_dft_size
+
+    pad = (get_optimal_dft_size(corr_rows), get_optimal_dft_size(cols))
+
+    def register(pan_c, mss_c):
+        # sequential tile correlation (lax.map) so HBM holds one tile's FFT
+        # working set at a time: 4 bands x `slices` tiles
+        def one(idx):
+            band = idx // slices
+            i = idx % slices
+            pt = jax.lax.dynamic_slice(
+                pan_c, (0, i * cols), (corr_rows, cols)
+            ).astype(jnp.float32)
+            bt = jax.lax.dynamic_slice(
+                mss_c, (band, 0, i * bcols), (1, brows, bcols)
+            )[0].astype(jnp.float32)
+            up = resample.upsample4_f32(bt)
+            return phasecorr._phase_correlate_padded(pt, up, pad)
+
+        dx, dy, rs = jax.lax.map(
+            one, jnp.arange(MSS_BANDS * slices)
+        )
+        dx = dx.reshape(MSS_BANDS, slices)
+        dy = dy.reshape(MSS_BANDS, slices)
+        rs = rs.reshape(MSS_BANDS, slices)
+        cx = (jnp.arange(slices) * cols + cols // 2).astype(jnp.float32)
+        coeffs = []
+        for band in range(MSS_BANDS):
+            w = (rs[band] >= 0.0).astype(jnp.float32)  # noise scene: keep all
+            coeffs.append(
+                (_fit_poly(cx, dx[band], 1, w), _fit_poly(cx, dy[band], 2, w))
+            )
+        return coeffs
+
+    fold = 200
+
+    @jax.jit
+    def pipeline(pan, mss, pan_params, mss_params):
+        pan_c = rrc.rrc_apply(pan, pan_params)
+        mss_c = jnp.stack(
+            [rrc.rrc_apply(mss[i], mss_params[i]) for i in range(MSS_BANDS)]
+        )
+        coeffs = register(pan_c, mss_c)
+        aligned = jnp.stack(
+            [
+                remap_band_dynamic_chunked(
+                    mss_c[i], coeffs[i][0], coeffs[i][1], chunk_rows=1024
+                )
+                for i in range(MSS_BANDS)
+            ],
+            axis=-1,
+        )
+        # prestitch: constant-shift resample of the second CMOS PAN
+        zero2 = jnp.asarray([1.5, 0.0], jnp.float32)
+        zeroy = jnp.asarray([-0.75, 0.0, 0.0], jnp.float32)
+        prestt = remap_band_dynamic_chunked(pan_c, zero2, zeroy, chunk_rows=1024)
+        # stitch: seam concat of the two halves
+        stitched = jnp.concatenate(
+            [pan_c[:, : PIXELS_PER_LINE - fold], prestt[:, fold:]], axis=1
+        )
+        return aligned, stitched
+
+    out = pipeline(pan, mss, pan_params, mss_params)
+    jax.block_until_ready(out)
+
+    times = []
+    for it in range(n_iters):
+        t0 = time.perf_counter()
+        out = pipeline(pan, mss, pan_params, mss_params)
+        jax.block_until_ready(out)
+        # force a real device->host readback so async/tunnel execution can't
+        # report completion early
+        _ = np.asarray(out[0][it % 7, it % 5])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    import sys
+    print('times:', [round(t,4) for t in times], file=sys.stderr)
+
+    px = (
+        lines_pan * PIXELS_PER_LINE            # PAN RRC+stitch path
+        + MSS_BANDS * lines_mss * PIXELS_PER_MSSBAND  # MSS RRC+align
+        + lines_pan * PIXELS_PER_LINE          # prestitch PAN2
+    )
+    gpix = px / dt / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": "e2e RRC+register+resample+stitch throughput",
+                "value": round(gpix, 3),
+                "unit": "Gpix/s/chip",
+                "vs_baseline": round(gpix / 2.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

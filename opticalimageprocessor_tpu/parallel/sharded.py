@@ -1,0 +1,291 @@
+"""Sharded (multi-chip) pipeline step: sequence parallelism over strip lines.
+
+This is the framework's SPMD execution path: the push-broom line axis is
+sharded over a 1-D device mesh, and one jitted step performs
+
+  RRC (local, elementwise)
+    -> per-device slice correlation (local batched FFT)
+    -> cross-device reduction of shift statistics (psum / all_gather)
+    -> on-device polynomial fit (replicated small lstsq)
+    -> alignment resample with ppermute halo exchange
+
+mapping the reference's serial sectioning (SURVEY §2 parallelism table) onto
+ICI collectives: its sampled sections become per-device samples, its
+20000-line alignment batches become device shards, and its 520-line trimmed
+overlaps become the halo exchange.
+
+Sharded-mode semantics note: the resample sees true neighbour rows at shard
+boundaries (plus border-0 at the strip ends), i.e. the *unsectioned* result.
+The reference's per-section border artifacts (the ~2 cubic-support rows at
+each 20000-line section seam that read BORDER_CONSTANT zeros,
+preproc.h:428-457) are not reproduced here; the host-side
+models/preprocessor.py path keeps full sectioned parity.  Everywhere else
+the maths is identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..constants import MSS_BANDS
+from ..ops.resample import _remap_section_math, upsample4_f32
+from ..ops.rrc import _rrc_math
+from .halo import exchange_halo
+from .mesh import LINE_AXIS
+
+# conservative static shift bounds for the dynamic (traced-coefficient)
+# remap; real band misregistrations are a few pixels
+COL_SHIFT_BOUND = 8
+ROW_OFF_BOUND = 6
+
+
+def _dynamic_plan_arrays(coeff_x, coeff_y, width: int):
+    """In-graph per-column map data from traced polynomial coefficients
+    (float32 analogue of ops.resample.build_remap_plan)."""
+    x = jnp.arange(width, dtype=jnp.float32)
+    xx = x * jnp.float32(MSS_BANDS)
+    mapx = (coeff_x[1] * xx + coeff_x[0] + xx) / jnp.float32(MSS_BANDS)
+    g = (
+        coeff_y[2] * xx * xx + coeff_y[1] * xx + coeff_y[0]
+    ) / jnp.float32(MSS_BANDS)
+
+    ix = jnp.floor(mapx).astype(jnp.int32)
+    fx = mapx - ix.astype(jnp.float32)
+    from ..ops.resample import _cubic_weights_f32
+
+    w0, w1, w2, w3 = _cubic_weights_f32(fx)
+    wx = jnp.stack([w0, w1, w2, w3])  # (4, W)
+
+    col_tap0 = ix - 1
+    d = col_tap0 - jnp.arange(width, dtype=jnp.int32)
+    col_shifts = tuple(range(-COL_SHIFT_BOUND, COL_SHIFT_BOUND + 1))
+    s_arr = jnp.asarray(col_shifts, jnp.int32)
+    colsel = (d[None, :] == s_arr[:, None]).astype(jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.int32)
+    taps = xs[None, None, :] + s_arr[None, :, None] + jnp.arange(4, dtype=jnp.int32)[:, None, None]
+    colvalid = ((taps >= 0) & (taps < width)).astype(jnp.float32)
+    return wx, colsel, colvalid, g, col_shifts
+
+
+def remap_band_dynamic(
+    band_local: jax.Array,
+    coeff_x: jax.Array,
+    coeff_y: jax.Array,
+    y0,
+    axis_name: str | None = None,
+):
+    """Alignment remap of a local line-shard with traced coefficients.
+
+    ``band_local``: (rows_local, W) uint16; ``y0``: absolute row of local
+    row 0 (traced ok).  When ``axis_name`` is given, halo rows come from the
+    neighbouring shards via ppermute; otherwise zeros (single-shard strip).
+    """
+    width = band_local.shape[1]
+    wx, colsel, colvalid, g, col_shifts = _dynamic_plan_arrays(
+        coeff_x, coeff_y, width
+    )
+    row_offsets = tuple(range(-ROW_OFF_BOUND, ROW_OFF_BOUND + 1))
+    halo_top = -(row_offsets[0] - 1)
+    halo_bottom = row_offsets[-1] + 2
+
+    srcf = band_local.astype(jnp.float32)
+    if axis_name is not None:
+        src_halo = exchange_halo(srcf, halo_top, halo_bottom, axis_name)
+    else:
+        src_halo = jnp.pad(srcf, ((halo_top, halo_bottom), (0, 0)))
+    return _remap_section_math(
+        src_halo,
+        y0,
+        band_local.shape[0],
+        wx,
+        colsel,
+        colvalid,
+        g,
+        jnp.zeros_like(g),
+        col_shifts=col_shifts,
+        row_offsets=row_offsets,
+        halo_top=halo_top,
+        quantized=False,
+    )
+
+
+def remap_band_dynamic_chunked(
+    band: jax.Array,
+    coeff_x: jax.Array,
+    coeff_y: jax.Array,
+    chunk_rows: int,
+):
+    """Whole-strip dynamic remap, streamed over row chunks with lax.map so
+    HBM holds only one chunk's working set (the on-device analogue of the
+    reference's SectionaryRemap streaming, imageop.h:230-275 — but with true
+    neighbour rows between chunks instead of section borders)."""
+    rows, width = band.shape
+    assert rows % chunk_rows == 0, "pad rows to a chunk multiple"
+    wx, colsel, colvalid, g, col_shifts = _dynamic_plan_arrays(
+        coeff_x, coeff_y, width
+    )
+    row_offsets = tuple(range(-ROW_OFF_BOUND, ROW_OFF_BOUND + 1))
+    halo_top = -(row_offsets[0] - 1)
+    halo_bottom = row_offsets[-1] + 2
+
+    padded = jnp.pad(band, ((halo_top, halo_bottom), (0, 0)))
+
+    def one_chunk(i):
+        src = jax.lax.dynamic_slice_in_dim(
+            padded, i * chunk_rows, chunk_rows + halo_top + halo_bottom, 0
+        ).astype(jnp.float32)
+        return _remap_section_math(
+            src,
+            i * chunk_rows,
+            chunk_rows,
+            wx,
+            colsel,
+            colvalid,
+            g,
+            jnp.zeros_like(g),
+            col_shifts=col_shifts,
+            row_offsets=row_offsets,
+            halo_top=halo_top,
+            quantized=False,
+        )
+
+    out = jax.lax.map(one_chunk, jnp.arange(rows // chunk_rows))
+    return out.reshape(rows, width)
+
+
+def _correlate_local(pan_local_f32, band_local_f32, slices: int):
+    """Per-device slice correlation: the device's whole local row block is
+    one 'section' sample, split into ``slices`` column slices (the
+    reference's 5x10 sampling grid, preproc.h:245-259, with sections =
+    devices)."""
+    from ..ops.phasecorr import _phase_correlate_padded
+    from ..ops.cv_exact import get_optimal_dft_size
+
+    h, w = pan_local_f32.shape
+    cols = w // slices
+    bh, bw = band_local_f32.shape
+    bcols = cols // MSS_BANDS
+
+    pan_tiles = jnp.stack(
+        [pan_local_f32[:, i * cols : (i + 1) * cols] for i in range(slices)]
+    )
+    band_tiles = jnp.stack(
+        [band_local_f32[:, i * bcols : (i + 1) * bcols] for i in range(slices)]
+    )
+    up = upsample4_f32(band_tiles)
+    pad = (get_optimal_dft_size(h), get_optimal_dft_size(cols))
+    dx, dy, rs = jax.vmap(
+        lambda a, b: _phase_correlate_padded(a, b, pad)
+    )(pan_tiles, up)
+    cx = (jnp.arange(slices) * cols + cols // 2).astype(jnp.float32)
+    return dx, dy, rs, cx
+
+
+def _fit_poly(cx, y, deg: int, w=None):
+    """Replicated small weighted least-squares (float32 on device)."""
+    # normalise x for conditioning
+    scale = jnp.float32(1.0 / 4096.0)
+    xn = cx * scale
+    v = jnp.stack([xn**k for k in range(deg + 1)], axis=-1)
+    if w is not None:
+        v = v * w[:, None]
+        y = y * w
+    coeffs, *_ = jnp.linalg.lstsq(v, y)
+    return coeffs * jnp.asarray(
+        [scale**k for k in range(deg + 1)], coeffs.dtype
+    )
+
+
+def make_align_step(mesh, slices: int = 8, threshold: float = 0.2):
+    """Build the jitted multi-chip align step over ``mesh`` (axis 'line').
+
+    Step signature: (pan u16 sharded (L_pan, W_pan), mss u16 sharded
+    (4, L_mss, W_band), rrc_pan params (6, W_pan), rrc_mss params
+    (4, 6, W_band)) -> (aligned u16 (L_mss, W_band, 4) sharded,
+    coeff_x (4, 2), coeff_y (4, 3)).
+    """
+
+    def step(pan, mss, pan_params, mss_params):
+        def local(pan_l, mss_l, pan_par, mss_par):
+            # --- RRC (elementwise, local)
+            pan_c = _rrc_math(
+                pan_l.astype(jnp.int32), *[pan_par[i][None, :] for i in range(6)]
+            ).astype(jnp.uint16)
+            mss_c = jnp.stack(
+                [
+                    _rrc_math(
+                        mss_l[b].astype(jnp.int32),
+                        *[mss_par[b, i][None, :] for i in range(6)],
+                    ).astype(jnp.uint16)
+                    for b in range(MSS_BANDS)
+                ]
+            )
+
+            # --- correlation: this device's rows are one section sample
+            panf = pan_c.astype(jnp.float32)
+            stats = [
+                _correlate_local(panf, mss_c[b].astype(jnp.float32), slices)
+                for b in range(MSS_BANDS)
+            ]
+            # gather all sections' samples: (n_dev, bands, slices)
+            dx = jax.lax.all_gather(
+                jnp.stack([s[0] for s in stats]), LINE_AXIS
+            )
+            dy = jax.lax.all_gather(
+                jnp.stack([s[1] for s in stats]), LINE_AXIS
+            )
+            rs = jax.lax.all_gather(
+                jnp.stack([s[2] for s in stats]), LINE_AXIS
+            )
+            cx = stats[0][3]  # same per device
+
+            n_dev = dx.shape[0]
+            coeff_x = []
+            coeff_y = []
+            for b in range(MSS_BANDS):
+                bdx = dx[:, b, :].reshape(-1)
+                bdy = dy[:, b, :].reshape(-1)
+                brs = rs[:, b, :].reshape(-1)
+                bcx = jnp.tile(cx, n_dev)
+                wgt = (brs >= threshold).astype(jnp.float32)
+                cxc = _fit_poly(bcx, bdx, 1, wgt)
+                cyc = _fit_poly(bcx, bdy, 2, wgt)
+                coeff_x.append(cxc)
+                coeff_y.append(cyc)
+            coeff_x = jnp.stack(coeff_x)
+            coeff_y = jnp.stack(coeff_y)
+
+            # --- alignment remap with halo exchange
+            idx = jax.lax.axis_index(LINE_AXIS)
+            rows_local = mss_l.shape[1]
+            y0 = idx.astype(jnp.int32) * rows_local
+            aligned = jnp.stack(
+                [
+                    remap_band_dynamic(
+                        mss_c[b], coeff_x[b], coeff_y[b], y0, LINE_AXIS
+                    )
+                    for b in range(MSS_BANDS)
+                ],
+                axis=-1,
+            )
+            return aligned, coeff_x, coeff_y
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(LINE_AXIS, None),
+                P(None, LINE_AXIS, None),
+                P(),
+                P(),
+            ),
+            out_specs=(P(LINE_AXIS, None, None), P(), P()),
+            check_vma=False,
+        )(pan, mss, pan_params, mss_params)
+
+    return jax.jit(step)
