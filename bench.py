@@ -79,28 +79,41 @@ def main() -> None:
     from opticalimageprocessor_tpu.ops.cv_exact import get_optimal_dft_size
 
     pad = (get_optimal_dft_size(corr_rows), get_optimal_dft_size(cols))
+    use_mxu = on_tpu
+    if on_tpu:
+        from opticalimageprocessor_tpu.ops import fft_mxu
+
+        fft_mxu.set_stage_dtype(jnp.bfloat16)  # fast mode: <2e-3 px effect
 
     def register(pan_c, mss_c):
-        # sequential tile correlation (lax.map) so HBM holds one tile's FFT
-        # working set at a time: 4 bands x `slices` tiles
-        def one(idx):
-            band = idx // slices
-            i = idx % slices
+        # one slice at a time (lax.map) so HBM holds one tile's transform
+        # working set; the PAN tile's forward FFT is shared by all 4 bands
+        def one_slice(i):
             pt = jax.lax.dynamic_slice(
                 pan_c, (0, i * cols), (corr_rows, cols)
             ).astype(jnp.float32)
-            bt = jax.lax.dynamic_slice(
-                mss_c, (band, 0, i * bcols), (1, brows, bcols)
-            )[0].astype(jnp.float32)
-            up = resample.upsample4_f32(bt)
-            return phasecorr._phase_correlate_padded(pt, up, pad)
+            far, fai = phasecorr.rfft2_padded(pt, pad, use_mxu)
+            outs = []
+            for band in range(MSS_BANDS):
+                bt = jax.lax.dynamic_slice(
+                    mss_c, (band, 0, i * bcols), (1, brows, bcols)
+                )[0].astype(jnp.float32)
+                up = resample.upsample4_f32(bt)
+                fbr, fbi = phasecorr.rfft2_padded(up, pad, use_mxu)
+                outs.append(
+                    phasecorr.peak_from_spectra_windowed(
+                        far, fai, fbr, fbi, pad, 64, 64
+                    )
+                )
+            dxs = jnp.stack([o[0] for o in outs])
+            dys = jnp.stack([o[1] for o in outs])
+            rss = jnp.stack([o[2] for o in outs])
+            return dxs, dys, rss
 
-        dx, dy, rs = jax.lax.map(
-            one, jnp.arange(MSS_BANDS * slices)
-        )
-        dx = dx.reshape(MSS_BANDS, slices)
-        dy = dy.reshape(MSS_BANDS, slices)
-        rs = rs.reshape(MSS_BANDS, slices)
+        dx, dy, rs = jax.lax.map(one_slice, jnp.arange(slices))
+        dx = dx.T  # (bands, slices)
+        dy = dy.T
+        rs = rs.T
         cx = (jnp.arange(slices) * cols + cols // 2).astype(jnp.float32)
         coeffs = []
         for band in range(MSS_BANDS):
@@ -111,27 +124,44 @@ def main() -> None:
         return coeffs
 
     fold = 200
+    import os
+    stages = os.environ.get("OIP_BENCH_STAGES", "rrc,reg,remap,prestt").split(",")
 
     @jax.jit
     def pipeline(pan, mss, pan_params, mss_params):
-        pan_c = rrc.rrc_apply(pan, pan_params)
-        mss_c = jnp.stack(
-            [rrc.rrc_apply(mss[i], mss_params[i]) for i in range(MSS_BANDS)]
-        )
-        coeffs = register(pan_c, mss_c)
-        aligned = jnp.stack(
-            [
-                remap_band_dynamic_chunked(
-                    mss_c[i], coeffs[i][0], coeffs[i][1], chunk_rows=1024
-                )
-                for i in range(MSS_BANDS)
-            ],
-            axis=-1,
-        )
+        if "rrc" in stages:
+            pan_c = rrc.rrc_apply(pan, pan_params)
+            mss_c = jnp.stack(
+                [rrc.rrc_apply(mss[i], mss_params[i]) for i in range(MSS_BANDS)]
+            )
+        else:
+            pan_c, mss_c = pan, mss
+        if "reg" in stages:
+            coeffs = register(pan_c, mss_c)
+        else:
+            coeffs = [
+                (jnp.asarray([1.5, 2.5e-4], jnp.float32),
+                 jnp.asarray([-0.75, 1e-4, 1e-8], jnp.float32))
+            ] * MSS_BANDS
+        if "remap" in stages:
+            aligned = jnp.stack(
+                [
+                    remap_band_dynamic_chunked(
+                        mss_c[i], coeffs[i][0], coeffs[i][1], chunk_rows=1024
+                    )
+                    for i in range(MSS_BANDS)
+                ],
+                axis=-1,
+            )
+        else:
+            aligned = jnp.stack([mss_c[i] for i in range(MSS_BANDS)], axis=-1)
         # prestitch: constant-shift resample of the second CMOS PAN
-        zero2 = jnp.asarray([1.5, 0.0], jnp.float32)
-        zeroy = jnp.asarray([-0.75, 0.0, 0.0], jnp.float32)
-        prestt = remap_band_dynamic_chunked(pan_c, zero2, zeroy, chunk_rows=1024)
+        if "prestt" in stages:
+            zero2 = jnp.asarray([1.5, 0.0], jnp.float32)
+            zeroy = jnp.asarray([-0.75, 0.0, 0.0], jnp.float32)
+            prestt = remap_band_dynamic_chunked(pan_c, zero2, zeroy, chunk_rows=1024)
+        else:
+            prestt = pan_c
         # stitch: seam concat of the two halves
         stitched = jnp.concatenate(
             [pan_c[:, : PIXELS_PER_LINE - fold], prestt[:, fold:]], axis=1
@@ -152,7 +182,7 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     import sys
-    print('times:', [round(t,4) for t in times], file=sys.stderr)
+    print('times:', [round(t, 4) for t in times], file=sys.stderr)
 
     px = (
         lines_pan * PIXELS_PER_LINE            # PAN RRC+stitch path

@@ -75,6 +75,16 @@ int64_t oip_find_signatures(const uint8_t* buf, int64_t n, const uint8_t* sig,
 }
 
 // ---------------------------------------------------------------------------
+// Gather fixed-size blocks at arbitrary byte offsets into a packed output
+// (payload extraction for validated frames).
+// ---------------------------------------------------------------------------
+void oip_gather_blocks(const uint8_t* base, const int64_t* offsets,
+                       int64_t n_blocks, int64_t block_len, uint8_t* out) {
+    for (int64_t i = 0; i < n_blocks; ++i)
+        memcpy(out + i * block_len, base + offsets[i], (size_t)block_len);
+}
+
+// ---------------------------------------------------------------------------
 // 16-bit byte swap, in place (aux_separator.h:387-392 hot loop)
 // ---------------------------------------------------------------------------
 void oip_byteswap16(uint16_t* data, int64_t n_words) {

@@ -129,26 +129,31 @@ def scan_aos_frames(buf: np.ndarray) -> AosScanResult:
     returns NULL when fewer than 1024 bytes remain).
     """
     buf = np.ascontiguousarray(buf, dtype=np.uint8)
-    sigs = find_signatures(buf, SYNC_BYTES)
+    from ..utils import native
+
+    sigs = native.find_signatures(buf, SYNC_BYTES)
     sigs = sigs[sigs + AOS_FRAME_BYTES <= buf.shape[0]]
     if sigs.size == 0:
         return AosScanResult()
 
-    # Batch-validate every candidate, then emulate the cursor walk.
-    idx = sigs[:, None] + np.arange(AOS_FRAME_BYTES)[None, :]
-    frames = buf[idx]
+    # Batch-validate every candidate with per-field gathers (no full-frame
+    # copies), then emulate the cursor walk.
+    def field(off):
+        return buf[sigs + off]
 
-    vcid = frames[:, AOS_VCID_OFF] & AOS_VCID_MASK
+    vcid = field(AOS_VCID_OFF) & AOS_VCID_MASK
     inj = (
-        (frames[:, AOS_VCDUINJ_OFF].astype(np.uint32) << 24)
-        | (frames[:, AOS_VCDUINJ_OFF + 1].astype(np.uint32) << 16)
-        | (frames[:, AOS_VCDUINJ_OFF + 2].astype(np.uint32) << 8)
-        | frames[:, AOS_VCDUINJ_OFF + 3].astype(np.uint32)
+        (field(AOS_VCDUINJ_OFF).astype(np.uint32) << 24)
+        | (field(AOS_VCDUINJ_OFF + 1).astype(np.uint32) << 16)
+        | (field(AOS_VCDUINJ_OFF + 2).astype(np.uint32) << 8)
+        | field(AOS_VCDUINJ_OFF + 3).astype(np.uint32)
     )
-    crc_stored = (frames[:, AOS_CRC_OFF].astype(np.uint16) << 8) | frames[
-        :, AOS_CRC_OFF + 1
-    ].astype(np.uint16)
-    crc_calc = crc16_ccitt_false_many(frames[:, AOS_HEADER_OFF:AOS_CRC_OFF])
+    crc_stored = (field(AOS_CRC_OFF).astype(np.uint16) << 8) | field(
+        AOS_CRC_OFF + 1
+    ).astype(np.uint16)
+    crc_calc = native.crc16_many(
+        buf, sigs + AOS_HEADER_OFF, AOS_CRC_OFF - AOS_HEADER_OFF
+    )
 
     status = np.full(sigs.size, AOS_FRAME_INVALID, dtype=np.int8)
     ok_inj = (inj == AOS_VCDUINJ_INVAL) | (inj == AOS_VCDUINJ_VALID)
@@ -182,8 +187,11 @@ def scan_aos_frames(buf: np.ndarray) -> AosScanResult:
 
 def extract_aos_payloads(buf: np.ndarray, valid_offsets: np.ndarray) -> np.ndarray:
     """Gather the 880-byte payloads of validated AOS frames → (n, 880) u8."""
-    idx = valid_offsets[:, None] + (AOS_DATA_OFF + np.arange(AOS_DATA_BYTES))[None, :]
-    return np.ascontiguousarray(buf[idx])
+    from ..utils import native
+
+    return native.gather_blocks(
+        buf, np.asarray(valid_offsets) + AOS_DATA_OFF, AOS_DATA_BYTES
+    )
 
 
 @dataclass
@@ -224,8 +232,13 @@ def parse_imtr_stream(stream: np.ndarray) -> ImtrParseResult:
     crc_stored = (frames[:, IMTR_CRC_OFF].astype(np.uint16) << 8) | frames[
         :, IMTR_CRC_OFF + 1
     ].astype(np.uint16)
-    # Only CRC-check frames that passed the cheap tests (batch anyway).
-    crc_calc = crc16_ccitt_false_many(frames[:, :IMTR_CRC_OFF])
+    from ..utils import native
+
+    crc_calc = native.crc16_many(
+        stream[: n * IMTR_FRAME_BYTES],
+        np.arange(n, dtype=np.int64) * IMTR_FRAME_BYTES,
+        IMTR_CRC_OFF,
+    )
     ok &= crc_calc == crc_stored
 
     seq = (

@@ -98,14 +98,17 @@ class AuxSeparator:
 
     # -- stages 1+2 -----------------------------------------------------
     def _separate_aos(self):
-        buf = np.memmap(self.input_file, dtype=np.uint8, mode="r")[self.offset :]
+        # materialise in RAM once: the scan's random-access gathers are far
+        # cheaper against anonymous memory than against a page-faulting mmap
+        with stage("aos_read", 0):
+            buf = np.fromfile(self.input_file, dtype=np.uint8, offset=self.offset)
         with stage("aos_scan", buf.nbytes):
-            res = aos.scan_aos_frames(np.asarray(buf))
+            res = aos.scan_aos_frames(buf)
         olog(
             "AOS frames: %d valid, %d empty, %d invalid.",
             res.valid.size, res.empty.size, res.invalid.size,
         )
-        payloads = aos.extract_aos_payloads(np.asarray(buf), res.valid)
+        payloads = aos.extract_aos_payloads(buf, res.valid)
         stream = payloads.reshape(-1)
         with stage("imtr_parse", stream.nbytes):
             imtr = aos.parse_imtr_stream(stream)
@@ -133,7 +136,7 @@ class AuxSeparator:
         mss_path = build_output_file_path(
             self.imdt_file, STEM_EXT_MSS, RAW_FILE_EXT, out_dir=self.out_dir
         )
-        buf = np.asarray(np.memmap(self.imdt_file, dtype=np.uint8, mode="r"))
+        buf = np.fromfile(self.imdt_file, dtype=np.uint8)
 
         zero_aux = bytes(aos.IMGSIG_AUX_ALLBYTES)
         zero_pan = bytes(BYTES_PER_PANLINE * aos.IMGSIG_PAN_LINES)

@@ -35,25 +35,69 @@ import numpy as np
 from .cv_exact import get_optimal_dft_size
 
 
-@functools.partial(jax.jit, static_argnames=("pad_to",))
-def _phase_correlate_padded(a: jax.Array, b: jax.Array, pad_to: tuple[int, int]):
-    """Core routine on already-shaped f32 tiles; returns (dx, dy, response)."""
-    h, w = a.shape[-2], a.shape[-1]
+def _use_mxu_default() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def rfft2_padded(x: jax.Array, pad_to: tuple[int, int], use_mxu: bool):
+    """Zero-pad to ``pad_to`` and rfft2; returns (re, im) float32 pair."""
+    h, w = x.shape[-2], x.shape[-1]
     M, N = pad_to
+    pad_width = [(0, 0)] * (x.ndim - 2) + [(0, M - h), (0, N - w)]
+    p = jnp.pad(x, pad_width)
+    if use_mxu:
+        from .fft_mxu import rfft2_mxu
 
-    def one(x):
-        return jnp.pad(x, ((0, M - h), (0, N - w)))
+        return rfft2_mxu(p)
+    f = jnp.fft.rfft2(p)
+    return jnp.real(f), jnp.imag(f)
 
-    pa = one(a)
-    pb = one(b)
-    fa = jnp.fft.rfft2(pa)
-    fb = jnp.fft.rfft2(pb)
-    p = fa * jnp.conj(fb)
-    mag = jnp.abs(p)
-    c = jnp.where(mag != 0, p / jnp.where(mag == 0, 1.0, mag), 0.0)
-    corr = jnp.fft.irfft2(c, s=(M, N))
+
+def peak_from_spectra(
+    far, fai, fbr, fbi, pad_to: tuple[int, int], use_mxu: bool
+):
+    """Cross-power spectrum -> correlation peak (dx, dy, response), given
+    precomputed half spectra of the two tiles (lets callers share the
+    reference-tile FFT across many candidates)."""
+    M, N = pad_to
+    pr = far * fbr + fai * fbi            # fa * conj(fb)
+    pi = fai * fbr - far * fbi
+    mag = jnp.sqrt(pr * pr + pi * pi)
+    den = jnp.where(mag == 0, 1.0, mag)
+    if use_mxu:
+        from .fft_mxu import irfft2_real_mxu
+
+        corr = irfft2_real_mxu(pr / den, pi / den, N)
+    else:
+        c = jax.lax.complex(pr / den, pi / den)
+        corr = jnp.fft.irfft2(c, s=(M, N))
     corr = jnp.fft.fftshift(corr)
+    return _peak_and_centroid(corr, M, N)
 
+
+@functools.partial(jax.jit, static_argnames=("pad_to", "use_mxu"))
+def _phase_correlate_padded(
+    a: jax.Array,
+    b: jax.Array,
+    pad_to: tuple[int, int],
+    use_mxu: bool = False,
+):
+    """Core routine on already-shaped f32 tiles; returns (dx, dy, response).
+
+    ``use_mxu`` routes the transforms through ops/fft_mxu (DFT-as-matmul,
+    ~50x faster than XLA's TPU FFT lowering at these sizes; ~1e-7 relative
+    difference in the correlation surface)."""
+    M, N = pad_to
+    far, fai = rfft2_padded(a, pad_to, use_mxu)
+    fbr, fbi = rfft2_padded(b, pad_to, use_mxu)
+    return peak_from_spectra(far, fai, fbr, fbi, pad_to, use_mxu)
+
+
+def _peak_and_centroid(corr: jax.Array, M: int, N: int):
+    """Arg-max peak + 5x5 weighted centroid (cv::phaseCorrelate semantics)."""
     peak = jnp.argmax(corr)          # row-major first max, like minMaxLoc
     py = peak // N
     px = peak % N
@@ -85,26 +129,119 @@ def _phase_correlate_padded(a: jax.Array, b: jax.Array, pad_to: tuple[int, int])
     return dx, dy, response
 
 
-def phase_correlate(a, b) -> tuple[float, float, float]:
+@functools.lru_cache(maxsize=32)
+def _eval_consts(n: int, keep: int, win: int, rows_axis: bool):
+    """DFT-evaluation matrices for reconstructing the correlation surface
+    only at shifts s in [-win, win] (float64 trig, float32 storage)."""
+    k = np.arange(keep, dtype=np.float64)
+    s = np.arange(-win, win + 1, dtype=np.float64)
+    # evaluate ifft(C) at index -s so the returned displacement keeps
+    # cv::phaseCorrelate's sign (peak of ifft lands at minus the shift)
+    ang = -2.0 * np.pi * np.outer(k, s) / n
+    cos = np.cos(ang)
+    sin = np.sin(ang)
+    if not rows_axis:
+        # half-spectrum doubling along the W axis (kx=0 once; Nyquist once)
+        wgt = np.full(keep, 2.0)
+        wgt[0] = 1.0
+        if n % 2 == 0 and keep == n // 2 + 1:
+            wgt[-1] = 1.0
+        cos = cos * wgt[:, None]
+        sin = sin * wgt[:, None]
+    return cos.astype(np.float32), sin.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("pad_to", "win_y", "win_x"))
+def peak_from_spectra_windowed(
+    far, fai, fbr, fbi, pad_to: tuple[int, int],
+    win_y: int = 64, win_x: int = 64,
+):
+    """Fast-mode peak: evaluate the (normalised) correlation surface only at
+    shifts |dy| <= win_y, |dx| <= win_x, as two small matmuls against DFT
+    evaluation matrices — no full-size inverse transform, no fftshift, no
+    whole-surface arg-max.
+
+    Identical values to the exact path at the evaluated shifts (the inverse
+    DFT restricted to a window); the semantic difference from
+    cv::phaseCorrelate is only that a global peak OUTSIDE the window cannot
+    be found — such tiles surface as low-response samples, which the
+    pipeline's validity threshold already discards.
+    """
+    M, N = pad_to
+    keep = far.shape[-1]
+    pr = far * fbr + fai * fbi            # fa * conj(fb)
+    pi = fai * fbr - far * fbi
+    mag = jnp.sqrt(pr * pr + pi * pi)
+    den = jnp.where(mag == 0, 1.0, mag)
+    cr = pr / den
+    ci = pi / den
+
+    from .fft_mxu import _mm
+
+    cx_c, cx_s = (jnp.asarray(v) for v in _eval_consts(N, keep, win_x, False))
+    # contract kx -> window columns (complex x complex evaluation basis)
+    dr = _mm(cr, cx_c) - _mm(ci, cx_s)
+    di = _mm(ci, cx_c) + _mm(cr, cx_s)
+    cy_c, cy_s = (jnp.asarray(v) for v in _eval_consts(M, M, win_y, True))
+    # contract ky -> window rows, real output: Re((dr+idi)(cos+isin))
+    corr = (_mm(cy_c.T, dr) - _mm(cy_s.T, di)) / jnp.float32(M * N)
+
+    wy = 2 * win_y + 1
+    wx = 2 * win_x + 1
+    peak = jnp.argmax(corr)
+    py = peak // wx
+    px = peak % wx
+    start_r = jnp.clip(py - 2, 0, wy - 5)
+    start_c = jnp.clip(px - 2, 0, wx - 5)
+    win = jax.lax.dynamic_slice(corr, (start_r, start_c), (5, 5))
+    rr = start_r + jnp.arange(5)[:, None]
+    cc = start_c + jnp.arange(5)[None, :]
+    valid = (
+        (rr >= py - 2) & (rr <= py + 2) & (cc >= px - 2) & (cc <= px + 2)
+    )
+    winm = jnp.where(valid, win, 0.0)
+    s = jnp.sum(winm)
+    s_eps = s + jnp.asarray(np.float32(np.finfo(np.float64).eps), winm.dtype)
+    cxc = jnp.sum(winm * cc.astype(winm.dtype)) / s_eps
+    cyc = jnp.sum(winm * rr.astype(winm.dtype)) / s_eps
+    # window coordinate w maps to shift s = w - win  (corr(s) = surface at
+    # displacement s of b relative to a, sign-matched to cv::phaseCorrelate)
+    dx = cxc - win_x
+    dy = cyc - win_y
+    return dx, dy, s
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def phase_correlate(a, b, use_mxu: bool | None = None):
     """Single-pair correlation; returns python floats (dx, dy, response)."""
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
     M = get_optimal_dft_size(a.shape[0])
     N = get_optimal_dft_size(a.shape[1])
-    dx, dy, r = _phase_correlate_padded(a, b, (M, N))
+    if use_mxu is None:
+        use_mxu = _use_mxu_default()
+    dx, dy, r = _phase_correlate_padded(a, b, (M, N), use_mxu)
     return float(dx), float(dy), float(r)
 
 
-@functools.partial(jax.jit, static_argnames=("pad_to",))
-def _phase_correlate_batch_padded(a, b, pad_to):
-    return jax.vmap(lambda x, y: _phase_correlate_padded(x, y, pad_to))(a, b)
+@functools.partial(jax.jit, static_argnames=("pad_to", "use_mxu"))
+def _phase_correlate_batch_padded(a, b, pad_to, use_mxu=False):
+    return jax.lax.map(
+        lambda xy: _phase_correlate_padded(xy[0], xy[1], pad_to, use_mxu),
+        (a, b),
+    )
 
 
-def phase_correlate_batch(a, b):
+def phase_correlate_batch(a, b, use_mxu: bool | None = None):
     """Batched correlation over a leading axis: (T, H, W) x (T, H, W) →
-    (dx[T], dy[T], response[T]) as jnp arrays — one fused batched FFT."""
+    (dx[T], dy[T], response[T]) as jnp arrays.  Tiles run sequentially
+    (lax.map) so HBM holds one tile's transform working set."""
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
     M = get_optimal_dft_size(a.shape[1])
     N = get_optimal_dft_size(a.shape[2])
-    return _phase_correlate_batch_padded(a, b, (M, N))
+    if use_mxu is None:
+        use_mxu = _use_mxu_default()
+    return _phase_correlate_batch_padded(a, b, (M, N), use_mxu)

@@ -60,6 +60,35 @@ _X4_W = _phase_weights_x4()
 _X4_BASE = (-2, -2, -1, -1)  # first-tap offset per phase
 
 
+def shifted_clipped(x: jax.Array, axis: int, off: int) -> jax.Array:
+    """``x`` indexed at clip(arange(n)+off, 0, n-1) along ``axis`` — i.e. a
+    shift with replicate-clamped edges — built from static slices + edge
+    repeats (never a gather: XLA:TPU lowers gathers to scalar loops)."""
+    n = x.shape[axis]
+    if off == 0:
+        return x
+    ax = axis % x.ndim
+
+    def take_rng(a, b):
+        idx = [slice(None)] * x.ndim
+        idx[ax] = slice(a, b)
+        return x[tuple(idx)]
+
+    if off > 0:
+        off = min(off, n - 1)
+        body = take_rng(off, n)
+        edge = take_rng(n - 1, n)
+        reps = [1] * x.ndim
+        reps[ax] = off
+        return jnp.concatenate([body, jnp.tile(edge, reps)], axis=ax)
+    off = max(off, -(n - 1))
+    body = take_rng(0, n + off)
+    edge = take_rng(0, 1)
+    reps = [1] * x.ndim
+    reps[ax] = -off
+    return jnp.concatenate([jnp.tile(edge, reps), body], axis=ax)
+
+
 def _upsample4_axis(x: jax.Array, axis: int) -> jax.Array:
     """Upsample one axis by 4 with exact cv::resize cubic semantics
     (replicate-clamped taps, grouped accumulation order)."""
@@ -67,8 +96,9 @@ def _upsample4_axis(x: jax.Array, axis: int) -> jax.Array:
     w = _X4_W
 
     def take(idx0: int):
-        idx = np.clip(np.arange(n) + idx0, 0, n - 1)
-        return jnp.take(x, jnp.asarray(idx), axis=axis)
+        # source tap index for output phase group: clip(arange(n)+idx0);
+        # realised as slices+edge repeats (no gathers on TPU)
+        return shifted_clipped(x, axis, idx0)
 
     phases = []
     for r in range(4):
@@ -414,6 +444,174 @@ def remap_section_u16(src: jax.Array, plan: RemapPlan) -> jax.Array:
         halo_top=plan.halo_top,
         quantized=plan.quantized,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fast TPU remap: column cubic as one MXU matmul, rows as shifted MACs
+# ---------------------------------------------------------------------------
+
+ROW_OFF_BOUND_FAST = 6   # static |floor(G)| bound for the fast path
+
+
+COL_BLOCK = 512      # lanes per column block
+COL_HALO = 32        # max |mapx - x| the blocked matmul supports
+
+
+def _col_interp_matrix(coeff_x, width: int):
+    """Blocked column-interpolation matrices.
+
+    The horizontal 4-tap cubic at column x reads taps around
+    ``mapx(x) = x + dx(x)`` with small |dx|; a dense (W, W) selection matrix
+    would waste W/4 of the MXU's work, so columns are processed in
+    ``COL_BLOCK``-wide blocks against (COL_BLOCK + 2*COL_HALO, COL_BLOCK)
+    banded matrices: ``out[:, blk] = src[:, blk +- halo] @ M_blk``.
+
+    Returns (n_blocks, COL_BLOCK + 2*COL_HALO, COL_BLOCK) float32; shifts
+    beyond COL_HALO fall outside the band and produce border zeros.  Built
+    in-graph from traced coefficients.
+    """
+    f32 = jnp.float32
+    block = min(COL_BLOCK, width)
+    assert width % block == 0, "width must divide into column blocks"
+    n_blocks = width // block
+    x = jnp.arange(width, dtype=f32)
+    xx = x * f32(MSS_BANDS)
+    mapx = (coeff_x[1] * xx + coeff_x[0] + xx) / f32(MSS_BANDS)
+    ix = jnp.floor(mapx).astype(jnp.int32)
+    fx = mapx - ix.astype(f32)
+    w0, w1, w2, w3 = _cubic_weights_f32(fx)
+    tap0 = ix - 1
+
+    # per block: local tap index = tap0 - (block_start - COL_HALO)
+    blk_start = (jnp.arange(n_blocks, dtype=jnp.int32) * block)[:, None]
+    tap_loc = tap0.reshape(n_blocks, block) - (blk_start - COL_HALO)
+    # absolute-tap validity (border 0 outside the image)
+    tap_abs = tap0.reshape(n_blocks, block)
+    j = jnp.arange(block + 2 * COL_HALO, dtype=jnp.int32)[None, :, None]
+    m = jnp.zeros((n_blocks, block + 2 * COL_HALO, block), f32)
+    for b, wb in enumerate((w0, w1, w2, w3)):
+        ok = ((tap_abs + b) >= 0) & ((tap_abs + b) < width)
+        sel = (j == (tap_loc + b)[:, None, :]) & ok[:, None, :]
+        m = m + sel.astype(f32) * wb.reshape(n_blocks, 1, block)
+    return m
+
+
+def _col_interp_apply(src_f32: jax.Array, col_matrix: jax.Array) -> jax.Array:
+    """Apply blocked column interpolation: (R, W) x (nB, B+2H, B) -> (R, W)."""
+    rows, width = src_f32.shape
+    n_blocks, bh, block = (
+        col_matrix.shape[0], col_matrix.shape[1], col_matrix.shape[2]
+    )
+    halo = (bh - block) // 2
+    padded = jnp.pad(src_f32, ((0, 0), (halo, halo)))
+    blocks = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(
+                padded, i * block, block + 2 * halo, axis=1
+            )
+            for i in range(n_blocks)
+        ]
+    )  # (nB, R, B+2H)
+    out = jnp.einsum(
+        "nrb,nbc->nrc", blocks, col_matrix,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.moveaxis(out, 0, 1).reshape(rows, width)
+
+
+def remap_band_fast(
+    src: jax.Array,
+    coeff_x,
+    coeff_y,
+    row_bound: int = ROW_OFF_BOUND_FAST,
+    g_override: jax.Array | None = None,
+    col_matrix: jax.Array | None = None,
+) -> jax.Array:
+    """TPU-fast alignment remap of a (rows, W) uint16 band.
+
+    Same maps as :func:`remap_polynomial_u16` with two fast-path
+    simplifications (each <= 1 DN vs the parity path, see tests):
+    the vertical coordinate is the ideal ``y + G(x)`` (per-column constant
+    offset/fraction, skipping the reference's float32 map-storage rounding at
+    large y), and the horizontal 4-tap sum runs as an MXU matmul
+    (highest-precision f32) instead of the oracle's grouped VPU order.
+    Works with traced coefficients; ``row_bound`` statically bounds |G|.
+    """
+    f32 = jnp.float32
+    rows, width = src.shape
+    coeff_x = jnp.asarray(coeff_x, f32)
+    coeff_y = jnp.asarray(coeff_y, f32)
+
+    if col_matrix is None:
+        col_matrix = _col_interp_matrix(coeff_x, width)
+    if g_override is None:
+        x = jnp.arange(width, dtype=f32)
+        xx = x * f32(MSS_BANDS)
+        g = (coeff_y[2] * xx * xx + coeff_y[1] * xx + coeff_y[0]) / f32(
+            MSS_BANDS
+        )
+    else:
+        g = g_override
+    iy0 = jnp.floor(g).astype(jnp.int32)       # per-column row offset
+    fy = g - iy0.astype(f32)
+    wys = _cubic_weights_f32(fy)               # 4 x (W,)
+
+    colg = _col_interp_apply(src.astype(f32), col_matrix)
+
+    halo_top = row_bound + 1
+    halo_bottom = row_bound + 2
+    padded = jnp.pad(colg, ((halo_top, halo_bottom), (0, 0)))
+
+    # per-column coefficient for each static row shift u = iy0 + a - 1:
+    # coeff_u[x] = sum_a wys[a][x] * [iy0[x] + a - 1 == u]
+    acc = jnp.zeros((rows, width), f32)
+    for u in range(-row_bound - 1, row_bound + 3):
+        cu = jnp.zeros((width,), f32)
+        for a in range(4):
+            cu = cu + jnp.where(iy0 + a - 1 == u, wys[a], f32(0))
+        rows_u = jax.lax.dynamic_slice_in_dim(
+            padded, halo_top + u, rows, axis=0
+        )
+        acc = acc + rows_u * cu[None, :]
+    return jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
+
+
+def remap_band_fast_chunked(
+    src: jax.Array, coeff_x, coeff_y, chunk_rows: int,
+    row_bound: int = ROW_OFF_BOUND_FAST,
+) -> jax.Array:
+    """Row-chunk-streamed :func:`remap_band_fast` (lax.map) so HBM holds one
+    chunk's working set; the column matrix is built once and reused."""
+    rows, width = src.shape
+    chunk_rows = min(chunk_rows, rows)
+    n_chunks = -(-rows // chunk_rows)
+    pad_rows = n_chunks * chunk_rows - rows
+    if pad_rows:
+        src = jnp.pad(src, ((0, pad_rows), (0, 0)))
+    col_matrix = _col_interp_matrix(jnp.asarray(coeff_x, jnp.float32), width)
+    f32 = jnp.float32
+    x = jnp.arange(width, dtype=f32)
+    xx = x * f32(MSS_BANDS)
+    cy = jnp.asarray(coeff_y, f32)
+    g = (cy[2] * xx * xx + cy[1] * xx + cy[0]) / f32(MSS_BANDS)
+
+    halo = row_bound + 2
+    padded = jnp.pad(src, ((halo, halo), (0, 0)))
+
+    def one(i):
+        blk = jax.lax.dynamic_slice_in_dim(
+            padded, i * chunk_rows, chunk_rows + 2 * halo, 0
+        )
+        out = remap_band_fast(
+            blk, coeff_x, coeff_y, row_bound, g_override=g,
+            col_matrix=col_matrix,
+        )
+        return out[halo : halo + chunk_rows]
+
+    out = jax.lax.map(one, jnp.arange(n_chunks)).reshape(
+        n_chunks * chunk_rows, width
+    )
+    return out[:rows]
 
 
 def remap_polynomial_u16(

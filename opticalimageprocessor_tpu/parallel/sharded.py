@@ -82,36 +82,52 @@ def remap_band_dynamic(
     """Alignment remap of a local line-shard with traced coefficients.
 
     ``band_local``: (rows_local, W) uint16; ``y0``: absolute row of local
-    row 0 (traced ok).  When ``axis_name`` is given, halo rows come from the
-    neighbouring shards via ppermute; otherwise zeros (single-shard strip).
-    """
-    width = band_local.shape[1]
-    wx, colsel, colvalid, g, col_shifts = _dynamic_plan_arrays(
-        coeff_x, coeff_y, width
-    )
-    row_offsets = tuple(range(-ROW_OFF_BOUND, ROW_OFF_BOUND + 1))
-    halo_top = -(row_offsets[0] - 1)
-    halo_bottom = row_offsets[-1] + 2
+    row 0 (unused: the fast path's vertical offset is per-column).  When
+    ``axis_name`` is given, halo rows come from the neighbouring shards via
+    ppermute; otherwise zeros (single-shard strip).
 
-    srcf = band_local.astype(jnp.float32)
-    if axis_name is not None:
-        src_halo = exchange_halo(srcf, halo_top, halo_bottom, axis_name)
-    else:
-        src_halo = jnp.pad(srcf, ((halo_top, halo_bottom), (0, 0)))
-    return _remap_section_math(
-        src_halo,
-        y0,
-        band_local.shape[0],
-        wx,
-        colsel,
-        colvalid,
-        g,
-        jnp.zeros_like(g),
-        col_shifts=col_shifts,
-        row_offsets=row_offsets,
-        halo_top=halo_top,
-        quantized=False,
+    Fast-path maths (ops.resample.remap_band_fast): horizontal cubic as one
+    MXU matmul, vertical as per-column shifted MACs; within 1 DN of the
+    parity remap.
+    """
+    del y0  # vertical offset is per-column in the fast path
+    from ..ops.resample import (
+        _col_interp_apply,
+        _col_interp_matrix,
+        _cubic_weights_f32 as _cw,
     )
+
+    f32 = jnp.float32
+    rows, width = band_local.shape
+    coeff_x = jnp.asarray(coeff_x, f32)
+    coeff_y = jnp.asarray(coeff_y, f32)
+    col_matrix = _col_interp_matrix(coeff_x, width)
+    x = jnp.arange(width, dtype=f32)
+    xx = x * jnp.float32(MSS_BANDS)
+    g = (
+        coeff_y[2] * xx * xx + coeff_y[1] * xx + coeff_y[0]
+    ) / jnp.float32(MSS_BANDS)
+    iy0 = jnp.floor(g).astype(jnp.int32)
+    fy = g - iy0.astype(f32)
+    wys = _cw(fy)
+
+    colg = _col_interp_apply(band_local.astype(f32), col_matrix)
+    rb = ROW_OFF_BOUND
+    halo_top = rb + 1
+    halo_bottom = rb + 2
+    if axis_name is not None:
+        padded = exchange_halo(colg, halo_top, halo_bottom, axis_name)
+    else:
+        padded = jnp.pad(colg, ((halo_top, halo_bottom), (0, 0)))
+
+    acc = jnp.zeros((rows, width), f32)
+    for u in range(-rb - 1, rb + 3):
+        cu = jnp.zeros((width,), f32)
+        for a in range(4):
+            cu = cu + jnp.where(iy0 + a - 1 == u, wys[a], f32(0))
+        rows_u = jax.lax.dynamic_slice_in_dim(padded, halo_top + u, rows, 0)
+        acc = acc + rows_u * cu[None, :]
+    return jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
 
 
 def remap_band_dynamic_chunked(
@@ -124,38 +140,11 @@ def remap_band_dynamic_chunked(
     HBM holds only one chunk's working set (the on-device analogue of the
     reference's SectionaryRemap streaming, imageop.h:230-275 — but with true
     neighbour rows between chunks instead of section borders)."""
-    rows, width = band.shape
-    assert rows % chunk_rows == 0, "pad rows to a chunk multiple"
-    wx, colsel, colvalid, g, col_shifts = _dynamic_plan_arrays(
-        coeff_x, coeff_y, width
+    from ..ops.resample import remap_band_fast_chunked
+
+    return remap_band_fast_chunked(
+        band, coeff_x, coeff_y, chunk_rows, row_bound=ROW_OFF_BOUND
     )
-    row_offsets = tuple(range(-ROW_OFF_BOUND, ROW_OFF_BOUND + 1))
-    halo_top = -(row_offsets[0] - 1)
-    halo_bottom = row_offsets[-1] + 2
-
-    padded = jnp.pad(band, ((halo_top, halo_bottom), (0, 0)))
-
-    def one_chunk(i):
-        src = jax.lax.dynamic_slice_in_dim(
-            padded, i * chunk_rows, chunk_rows + halo_top + halo_bottom, 0
-        ).astype(jnp.float32)
-        return _remap_section_math(
-            src,
-            i * chunk_rows,
-            chunk_rows,
-            wx,
-            colsel,
-            colvalid,
-            g,
-            jnp.zeros_like(g),
-            col_shifts=col_shifts,
-            row_offsets=row_offsets,
-            halo_top=halo_top,
-            quantized=False,
-        )
-
-    out = jax.lax.map(one_chunk, jnp.arange(rows // chunk_rows))
-    return out.reshape(rows, width)
 
 
 def _correlate_local(pan_local_f32, band_local_f32, slices: int):

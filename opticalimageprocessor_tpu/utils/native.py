@@ -48,6 +48,11 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
             ]
+            lib.oip_gather_blocks.restype = None
+            lib.oip_gather_blocks.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p,
+            ]
             lib.oip_byteswap16.restype = None
             lib.oip_byteswap16.argtypes = [ctypes.c_void_p, ctypes.c_int64]
             lib.oip_lzw_encode.restype = ctypes.c_int64
@@ -107,6 +112,23 @@ def find_signatures(buf: np.ndarray, sig: bytes) -> np.ndarray:
     from ..formats.aos import find_signatures as np_find
 
     return np_find(buf, sig)
+
+
+def gather_blocks(base: np.ndarray, offsets: np.ndarray, block_len: int) -> np.ndarray:
+    """Gather fixed-size byte blocks at arbitrary offsets -> (n, block_len)."""
+    lib = _load()
+    base = np.ascontiguousarray(base, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = np.empty((offsets.shape[0], block_len), np.uint8)
+    if lib is not None:
+        lib.oip_gather_blocks(
+            base.ctypes.data, offsets.ctypes.data, offsets.shape[0],
+            block_len, out.ctypes.data,
+        )
+        return out
+    for i, o in enumerate(offsets.tolist()):
+        out[i] = base[o : o + block_len]
+    return out
 
 
 def byteswap16(data: np.ndarray) -> np.ndarray:

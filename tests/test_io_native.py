@@ -1,0 +1,124 @@
+"""IO layer + native runtime tests: TIFF roundtrips/interop, RAW strips,
+LZW codec, byte swap, signature scan."""
+
+import numpy as np
+import pytest
+
+from opticalimageprocessor_tpu.io import raw as raw_io
+from opticalimageprocessor_tpu.io import tiff as tiff_io
+from opticalimageprocessor_tpu.utils import native
+
+
+@pytest.fixture
+def img1(rng):
+    return (
+        np.cumsum(rng.integers(-3, 4, (200, 300)), axis=1) + 5000
+    ).astype(np.uint16)
+
+
+@pytest.fixture
+def img4(img1):
+    return np.stack([img1, img1 + 1, img1 + 2, img1 + 3], -1).astype(np.uint16)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"compression": "lzw"},
+        {"compression": "lzw", "predictor": True},
+        {"bigtiff": True},
+        {"compression": "lzw", "predictor": True, "bigtiff": True},
+    ],
+)
+@pytest.mark.parametrize("nch", [1, 4])
+def test_tiff_roundtrip(tmp_path, img1, img4, kw, nch):
+    img = img1 if nch == 1 else img4
+    p = str(tmp_path / "t.tiff")
+    tiff_io.write_tiff(p, img, rows_per_strip=64, **kw)
+    np.testing.assert_array_equal(tiff_io.read_tiff(p), img)
+
+
+def test_tiff_interop_with_libtiff(tmp_path, img1, img4):
+    cv2 = pytest.importorskip("cv2")
+    # our LZW+predictor output must be readable by libtiff (cv2)
+    p = str(tmp_path / "ours.tiff")
+    tiff_io.write_tiff(p, img4, compression="lzw", predictor=True)
+    got = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(got[..., [2, 1, 0, 3]], img4)
+    # and we must read libtiff's LZW+predictor output
+    p2 = str(tmp_path / "theirs.tiff")
+    cv2.imwrite(p2, img1, [cv2.IMWRITE_TIFF_COMPRESSION, 5])
+    np.testing.assert_array_equal(tiff_io.read_tiff(p2), img1)
+
+
+def test_tiff_streaming_writer(tmp_path, img1):
+    p = str(tmp_path / "s.tiff")
+    w = tiff_io.TiffStripWriter(p, 300, 200, samples=1, rows_per_strip=48)
+    for off in range(0, 200, 37):  # uneven chunks vs strip size
+        w.write_rows(img1[off : off + 37])
+    w.close()
+    np.testing.assert_array_equal(tiff_io.read_tiff(p), img1)
+
+
+def test_tiff_row_count_mismatch(tmp_path, img1):
+    p = str(tmp_path / "bad.tiff")
+    w = tiff_io.TiffStripWriter(p, 300, 200)
+    w.write_rows(img1[:100])
+    with pytest.raises(ValueError):
+        w.close()
+
+
+def test_raw_strip_roundtrip(tmp_path, rng):
+    img = rng.integers(0, 65536, (64, 128), dtype=np.uint16)
+    p = str(tmp_path / "x.RAW")
+    raw_io.write_raw_image(p, img)
+    strip = raw_io.RawStrip(p, 128)
+    assert strip.lines == 64
+    np.testing.assert_array_equal(np.asarray(strip), img)
+    np.testing.assert_array_equal(strip.section(10, 20), img[10:30])
+    # section beyond EOF clips
+    assert strip.section(60, 20).shape[0] == 4
+    with pytest.raises(ValueError):
+        raw_io.RawStrip(p, 100)  # not a whole number of lines
+
+
+def test_lzw_roundtrip_sizes(rng):
+    if not native.native_available():
+        pytest.skip("native library unavailable")
+    for n, hi in [(0, 1), (1, 256), (600, 256), (70000, 16)]:
+        raw = bytes(rng.integers(0, hi, max(n, 0), dtype=np.uint8)) if n else b""
+        enc = native.lzw_encode(raw)
+        assert native.lzw_decode(enc, len(raw)) == raw
+        # the pure-python decoder agrees
+        assert native._lzw_decode_py(enc, len(raw)) == raw
+
+
+def test_byteswap_and_signatures(rng):
+    a = np.array([0x1234, 0xABCD], dtype=np.uint16)
+    native.byteswap16(a)
+    assert list(a) == [0x3412, 0xCDAB]
+    buf = np.frombuffer(b"xxSIGyySIGzzSIG", dtype=np.uint8)
+    assert list(native.find_signatures(buf, b"SIG")) == [2, 7, 12]
+
+
+def test_crc16_native_matches_python(rng):
+    base = rng.integers(0, 256, 4096, dtype=np.uint8)
+    offs = np.array([0, 100, 2000], dtype=np.int64)
+    got = native.crc16_many(base, offs, 890)
+    from opticalimageprocessor_tpu.formats.crc16 import crc16_ccitt_false
+
+    for i, o in enumerate(offs):
+        assert got[i] == crc16_ccitt_false(base[o : o + 890].tobytes())
+
+
+def test_stage_report():
+    from opticalimageprocessor_tpu.utils import logging as ulog
+
+    ulog.reset_stage_report()
+    with ulog.stage("unit_test_stage", 1024):
+        pass
+    rep = ulog.stage_report()
+    assert "unit_test_stage" in rep
+    assert rep["unit_test_stage"]["bytes"] == 1024
+    assert rep["unit_test_stage"]["calls"] == 1

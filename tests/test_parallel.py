@@ -103,11 +103,12 @@ def test_remap_dynamic_matches_static_plan(rng):
         )
     )
     diff = np.abs(want.astype(int) - got.astype(int))
-    # static plan computes maps in float64-then-cast; dynamic path is all-f32
-    # -> coordinates can differ in the last ulp, at most 1 DN at a handful of
-    # pixels
+    # static plan computes maps in float64-then-cast and accumulates in the
+    # oracle's grouped VPU order; the fast path is all-f32 with an MXU
+    # column matmul -> last-ulp differences flip rounding on a few % of
+    # pixels, never beyond 1 DN
     assert diff.max() <= 1
-    assert (diff > 0).mean() < 0.02
+    assert (diff > 0).mean() < 0.05
 
 
 def test_dryrun_multichip_entrypoint():
