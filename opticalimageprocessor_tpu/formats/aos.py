@@ -411,19 +411,49 @@ def build_imtr_frame(payload: bytes, seq: int, chid: int = IMTR_CHID_CMOS1) -> b
     return bytes(frame)
 
 
+def _jp2_encode_tile(tile_be_bytes: bytes, idx: int) -> bytes:
+    """Wrap a 256x1536 tile in the Z-header + lossless JPEG2000 codestream
+    (the builder-side inverse of InflateSubImage, aux_separator.h:374-393)."""
+    import cv2
+
+    tile = np.frombuffer(tile_be_bytes, dtype=np.uint16).reshape(
+        IMGSIG_IMBASE_LINES, IMGSIG_IMBASE_COLS
+    )
+    ok, enc = cv2.imencode(
+        ".jp2", tile, [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000]
+    )
+    if not ok:
+        raise RuntimeError("JPEG2000 encode failed")
+    code = enc.tobytes()
+    if len(code) % 4:
+        code += bytes(4 - len(code) % 4)
+    hdr = bytearray(Z_ZDATA_OFF)
+    dlmt = Z_EVEN_FRAME if idx % 2 == 0 else Z_ODD_FRAME
+    hdr[0:4] = dlmt.to_bytes(4, "little")
+    hdr[Z_IMGIDX_OFF : Z_IMGIDX_OFF + 4] = idx.to_bytes(4, "big")
+    hdr[Z_ZFORMAT_OFF] = Z_ZFORMAT_JP2
+    hdr[Z_HDRVER_OFF] = Z_HDRVER_VALUE
+    hdr[Z_DATADWORDS_OFF : Z_DATADWORDS_OFF + 4] = (len(code) // 4).to_bytes(
+        4, "big"
+    )
+    return bytes(hdr) + code
+
+
 def build_image_frame(
     pan_lines: np.ndarray,
     mss_lines: np.ndarray,
     seq: int,
     aux: bytes | None = None,
     file_id: int = 1,
+    compress: str | None = None,
 ) -> bytes:
-    """Build one *uncompressed* image frame for the IMDT stream.
+    """Build one image frame for the IMDT stream.
 
     ``pan_lines``: (1024, 12288) uint16 (big-endian on the wire);
     ``mss_lines``: (256, 12288) uint16.  Sub-images are 256x1536 tiles in
     row-major (v-part, h-part) order: 4 PAN stripes then 1 MSS stripe
-    (WriteImageData, aux_separator.h:341-364).
+    (WriteImageData, aux_separator.h:341-364).  ``compress='jp2'`` emits
+    lossless JPEG2000 sub-tiles (Z-header wrapped); None emits raw tiles.
     """
     assert pan_lines.shape == (IMGSIG_PAN_LINES, 12288)
     assert mss_lines.shape == (IMGSIG_MSS_LINES, 12288)
@@ -440,7 +470,11 @@ def build_image_frame(
                 row0 : row0 + IMGSIG_IMBASE_LINES,
                 c * IMGSIG_IMBASE_COLS : (c + 1) * IMGSIG_IMBASE_COLS,
             ]
-            tiles.append(np.ascontiguousarray(tile, dtype=">u2").tobytes())
+            raw = np.ascontiguousarray(tile, dtype=">u2").tobytes()
+            if compress == "jp2":
+                tiles.append(_jp2_encode_tile(raw, len(tiles)))
+            else:
+                tiles.append(raw)
 
     payload = b"".join(tiles)
     image_dwords = len(payload) // 4
@@ -448,7 +482,8 @@ def build_image_frame(
 
     meta = bytearray(IMGSIG_META_BYTES)
     meta[0:4] = IMGSIG_SIG
-    meta[IMGSIG_CAM_OFF] = IMGSIG_ZRTO_NONE  # camera=0, master, uncompressed
+    # camera=0, master; z_ratio 0 = uncompressed, 0x11 = 4:1-class JP2
+    meta[IMGSIG_CAM_OFF] = 0x11 if compress == "jp2" else IMGSIG_ZRTO_NONE
     meta[IMGSIG_FID_OFF] = file_id
     meta[IMGSIG_SEQ_OFF] = (seq >> 8) & 0xFF
     meta[IMGSIG_SEQ_OFF + 1] = seq & 0xFF

@@ -25,51 +25,20 @@ the maths is identical.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..constants import MSS_BANDS
-from ..ops.resample import _remap_section_math, upsample4_f32
+from ..ops.resample import upsample4_f32
 from ..ops.rrc import _rrc_math
 from .halo import exchange_halo
 from .mesh import LINE_AXIS
 
-# conservative static shift bounds for the dynamic (traced-coefficient)
-# remap; real band misregistrations are a few pixels
-COL_SHIFT_BOUND = 8
+# conservative static bound on |floor(G)| for the dynamic remap's vertical
+# shifts; real band misregistrations are a few pixels
 ROW_OFF_BOUND = 6
-
-
-def _dynamic_plan_arrays(coeff_x, coeff_y, width: int):
-    """In-graph per-column map data from traced polynomial coefficients
-    (float32 analogue of ops.resample.build_remap_plan)."""
-    x = jnp.arange(width, dtype=jnp.float32)
-    xx = x * jnp.float32(MSS_BANDS)
-    mapx = (coeff_x[1] * xx + coeff_x[0] + xx) / jnp.float32(MSS_BANDS)
-    g = (
-        coeff_y[2] * xx * xx + coeff_y[1] * xx + coeff_y[0]
-    ) / jnp.float32(MSS_BANDS)
-
-    ix = jnp.floor(mapx).astype(jnp.int32)
-    fx = mapx - ix.astype(jnp.float32)
-    from ..ops.resample import _cubic_weights_f32
-
-    w0, w1, w2, w3 = _cubic_weights_f32(fx)
-    wx = jnp.stack([w0, w1, w2, w3])  # (4, W)
-
-    col_tap0 = ix - 1
-    d = col_tap0 - jnp.arange(width, dtype=jnp.int32)
-    col_shifts = tuple(range(-COL_SHIFT_BOUND, COL_SHIFT_BOUND + 1))
-    s_arr = jnp.asarray(col_shifts, jnp.int32)
-    colsel = (d[None, :] == s_arr[:, None]).astype(jnp.float32)
-    xs = jnp.arange(width, dtype=jnp.int32)
-    taps = xs[None, None, :] + s_arr[None, :, None] + jnp.arange(4, dtype=jnp.int32)[:, None, None]
-    colvalid = ((taps >= 0) & (taps < width)).astype(jnp.float32)
-    return wx, colsel, colvalid, g, col_shifts
 
 
 def remap_band_dynamic(

@@ -80,6 +80,25 @@ def test_auxsep_roundtrip(tmp_path, rng):
     assert got_aux == aux * n_frames
 
 
+def test_auxsep_jp2_compressed_roundtrip(tmp_path, rng):
+    """JPEG2000-compressed downlink frames (z_ratio != 0) decode losslessly
+    through the Z-header parse + cv2 decode + byte-swap path."""
+    pytest.importorskip("cv2")
+    from opticalimageprocessor_tpu.models.auxsep import AuxSeparator
+
+    pan = rng.integers(0, 65536, (1024, 12288), dtype=np.uint16)
+    mss = rng.integers(0, 65536, (256, 12288), dtype=np.uint16)
+    imdt = aos.build_image_frame(pan, mss, seq=1, compress="jp2")
+    p = str(tmp_path / "z.IMDT")
+    with open(p, "wb") as f:
+        f.write(imdt)
+    outs = AuxSeparator(p, out_dir=str(tmp_path)).separate()
+    got_pan = np.fromfile(outs["pan"], dtype="<u2").reshape(-1, 12288)
+    got_mss = np.fromfile(outs["mss"], dtype="<u2").reshape(-1, 12288)
+    np.testing.assert_array_equal(got_pan, pan)
+    np.testing.assert_array_equal(got_mss, mss)
+
+
 def test_auxsep_zero_fill_missing_frames(tmp_path, rng):
     from opticalimageprocessor_tpu.models.auxsep import AuxSeparator
 
