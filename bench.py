@@ -97,8 +97,12 @@ def main() -> None:
             for band in range(MSS_BANDS):
                 bt = jax.lax.dynamic_slice(
                     mss_c, (band, 0, i * bcols), (1, brows, bcols)
-                )[0].astype(jnp.float32)
-                up = resample.upsample4_f32(bt)
+                )[0]
+                up = (
+                    resample.upsample4_bf16(bt)
+                    if use_mxu
+                    else resample.upsample4_f32(bt.astype(jnp.float32))
+                )
                 fbr, fbi = phasecorr.rfft2_padded(up, pad, use_mxu)
                 outs.append(
                     phasecorr.peak_from_spectra_windowed(

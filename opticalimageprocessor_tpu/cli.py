@@ -62,6 +62,13 @@ def _build_default_parser() -> argparse.ArgumentParser:
         "--coord-mode", choices=["continuous", "quantized"], default="continuous",
         help="resample coordinate convention (OpenCV 5.x / <=4.x parity)",
     )
+    p.add_argument(
+        "--fast", action="store_true", default=False,
+        help=(
+            "TPU fast resample mode (blocked MXU matmuls, whole-strip "
+            "streaming; within 1 DN of the parity path)"
+        ),
+    )
     return p
 
 
@@ -83,6 +90,7 @@ def _default_action(a) -> int:
     pp = PreProcessor(
         a.pan, a.mss, a.rrc_pan, rrc_mss, out_dir=a.out_dir,
         quantized_coords=a.coord_mode == "quantized",
+        fast=a.fast,
     )
     pp.load_and_rrc(do_rrc_pan=a.do_rrc4pan, do_rrc_mss=a.do_rrc4mss)
     if a.do_rrc4pan and a.write_rrcpan:
@@ -188,8 +196,28 @@ def _stitch(argv) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: repeated scene runs skip the
+    (minutes-long) kernel compilation."""
+    import os
+
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "OIP_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "oiptpu_jax"),
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    _enable_compile_cache()
     try:
         if argv and argv[0] == "auxsep":
             return _auxsep(argv[1:])

@@ -77,6 +77,10 @@ class PreProcessor:
     quantized_coords: bool = False
     bgr_tiff_order: bool = True
     pixels_per_line: int = PIXELS_PER_LINE   # test hook; camera default 12288
+    # fast=True: TPU fast resample (blocked MXU matmuls, whole-strip chunked
+    # streaming instead of the reference's bordered sections; within 1 DN of
+    # the parity path, see ops/resample.remap_band_fast)
+    fast: bool = False
 
     # populated by stages
     band_shifts: list[list[InterBandShift]] = field(default_factory=list)
@@ -318,6 +322,40 @@ class PreProcessor:
             - (0 if keep_leading_lines else section_overlap)
         )
         aligned = np.zeros((total_out, self.band_px, MSS_BANDS), np.uint16)
+
+        if self.fast:
+            with stage("alignment_fast", self.mss.nbytes):
+                whole = np.stack(
+                    [
+                        np.asarray(
+                            resample.remap_band_fast_chunked(
+                                jnp.asarray(
+                                    self._mss_bands[b, line_offset:]
+                                ),
+                                self.coeff_x[b].astype(np.float32),
+                                self.coeff_y[b].astype(np.float32),
+                                chunk_rows=4096,
+                            )
+                        )
+                        for b in range(MSS_BANDS)
+                    ],
+                    axis=-1,
+                )
+            if keep_leading_lines:
+                aligned[:] = whole[:total_out]
+            else:
+                aligned[:] = whole[section_overlap : section_overlap + total_out]
+            if not write_tiff:
+                return aligned
+            path = build_output_file_path(
+                self.mss_file, IBPA_STEM_EXT, TIFF_FILE_EXT, out_dir=self.out_dir
+            )
+            out = (
+                aligned[..., [2, 1, 0, 3]] if self.bgr_tiff_order else aligned
+            )
+            tiff_io.write_tiff(path, out)
+            olog("Aligned MSS written to %s", path)
+            return path
 
         plans = [
             resample.plan_for_band_alignment(

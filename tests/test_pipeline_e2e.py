@@ -205,6 +205,40 @@ def test_preprocessor_end_to_end(synthetic_scene, tmp_path):
         assert corr > 0.9, (band, corr)
 
 
+def test_preprocessor_fast_mode_matches_parity(synthetic_scene, tmp_path):
+    """--fast (blocked-MXU resample, whole-strip streaming) stays within
+    1 DN of the parity path away from the section seams the parity path
+    inherits from the reference."""
+    from opticalimageprocessor_tpu.models.preprocessor import PreProcessor
+
+    sc = synthetic_scene
+    rrc_mss = tuple(
+        _write_identity_rrc(tmp_path, f"m{b}.rrc", BAND_PX) for b in range(4)
+    )
+    outs = {}
+    for fast in (False, True):
+        pp = PreProcessor(
+            sc["pan"], sc["mss"], "", rrc_mss, out_dir=str(tmp_path),
+            pixels_per_line=PPL, fast=fast,
+        )
+        pp.load_and_rrc(do_rrc_pan=False, do_rrc_mss=True)
+        pp.calc_inter_band_correlation(slices=8, sections=1, threshold=0.1)
+        outs[fast] = pp.do_inter_band_alignment(
+            line_per_section=1600, section_overlap=20, write_tiff=False
+        )
+    diff = np.abs(
+        outs[True].astype(np.int32) - outs[False].astype(np.int32)
+    )
+    assert outs[True].shape == outs[False].shape
+    # The parity path reproduces the reference's float32 *map storage*
+    # (mapy = float32(y + G): ~1e-4 px rounding at y~1600); the fast path
+    # uses the ideal coordinate.  On full-bandwidth synthetic noise
+    # (gradients ~30000 DN/px) that coordinate difference alone is worth a
+    # couple of DN; on imagery it is sub-DN.
+    assert diff.max() <= 3, diff.max()
+    assert (diff > 1).mean() < 0.01
+
+
 def test_prestitch_and_stitch_raw(tmp_path, rng):
     from opticalimageprocessor_tpu.models import stitcher as st
 
