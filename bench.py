@@ -78,7 +78,11 @@ def main() -> None:
 
     from opticalimageprocessor_tpu.ops.cv_exact import get_optimal_dft_size
 
-    pad = (get_optimal_dft_size(corr_rows), get_optimal_dft_size(cols))
+    # fast mode: correlation length = the tile itself (no optimal-size pad),
+    # so the band side can use the spectral upsample identity
+    pad = (corr_rows, cols) if on_tpu else (
+        get_optimal_dft_size(corr_rows), get_optimal_dft_size(cols)
+    )
     use_mxu = on_tpu
     if on_tpu:
         from opticalimageprocessor_tpu.ops import fft_mxu
@@ -98,12 +102,13 @@ def main() -> None:
                 bt = jax.lax.dynamic_slice(
                     mss_c, (band, 0, i * bcols), (1, brows, bcols)
                 )[0]
-                up = (
-                    resample.upsample4_bf16(bt)
-                    if use_mxu
-                    else resample.upsample4_f32(bt.astype(jnp.float32))
-                )
-                fbr, fbi = phasecorr.rfft2_padded(up, pad, use_mxu)
+                if use_mxu:
+                    # spectral upsample: F_up = H * tiled(F_band) — 16x
+                    # cheaper than upsample + full-size transform
+                    fbr, fbi = phasecorr.upsampled_band_spectrum(bt)
+                else:
+                    up = resample.upsample4_f32(bt.astype(jnp.float32))
+                    fbr, fbi = phasecorr.rfft2_padded(up, pad, use_mxu)
                 outs.append(
                     phasecorr.peak_from_spectra_windowed(
                         far, fai, fbr, fbi, pad, 64, 64

@@ -74,20 +74,23 @@ def _twiddle_consts(n1: int, n2: int, inverse: bool):
     )
 
 
+_FACTOR_MAX = 2048   # largest per-factor direct DFT matrix
+
+
 def _factor(n: int) -> tuple[int, int]:
-    """Split composite n into n1*n2 with both factors <= _DIRECT_MAX,
-    preferring balance.  Returns (n, 1) when n is small enough."""
+    """Split composite n into n1*n2 with both factors <= _FACTOR_MAX,
+    preferring balance.  Returns (n, 1) when n is small enough to go direct
+    (<= _DIRECT_MAX, or <= _FACTOR_MAX with no usable split, e.g. primes)."""
     if n <= _DIRECT_MAX:
         return n, 1
-    best = None
     f = int(np.sqrt(n))
     for n1 in range(f, 1, -1):
         if n % n1 == 0:
             n2 = n // n1
-            if n1 <= _DIRECT_MAX and n2 <= _DIRECT_MAX:
+            if n1 <= _FACTOR_MAX and n2 <= _FACTOR_MAX:
                 return (n1, n2) if n1 >= n2 else (n2, n1)
-            if best is None:
-                best = (n1, n2)
+    if n <= _FACTOR_MAX:
+        return n, 1
     raise ValueError(f"cannot factor FFT length {n} into MXU-sized factors")
 
 

@@ -129,6 +129,89 @@ def _peak_and_centroid(corr: jax.Array, M: int, N: int):
     return dx, dy, response
 
 
+@functools.lru_cache(maxsize=16)
+def _upsample_filter_response(m: int, factor: int = 4):
+    """DFT of the x4 cubic upsample kernel on the length ``factor*m`` grid.
+
+    For a *circular* 4-phase cubic upsample U (the fast-mode approximation
+    of cv::resize's edge-replicated one — they differ only in the 2-3
+    border samples), F(U b)[K] = U_hat(K) * F(b)[K mod m], so the upsampled
+    tile's spectrum costs a small-tile FFT plus an elementwise multiply
+    instead of a full-size transform.  Returns (re, im) float32 of length
+    factor*m.
+    """
+    from .resample import _X4_BASE, _X4_W
+
+    big_n = factor * m
+    # up[factor*q + r] = sum_c w[r,c] * b[q + base_r + c]  (base = first-tap
+    # offset) => kernel support s = r - factor*(base_r + c)
+    taps = {}
+    for r in range(factor):
+        for c in range(4):
+            taps[r - factor * (_X4_BASE[r] + c)] = float(_X4_W[r, c])
+    k = np.arange(big_n, dtype=np.float64)
+    re = np.zeros(big_n)
+    im = np.zeros(big_n)
+    for s, w in taps.items():
+        ang = -2.0 * np.pi * k * s / big_n
+        re += w * np.cos(ang)
+        im += w * np.sin(ang)
+    return re.astype(np.float32), im.astype(np.float32)
+
+
+def _hermitian_full(re, im, n: int):
+    """Complete a last-axis half spectrum (…, H, n//2+1) to (…, H, n)."""
+    keep = re.shape[-1]
+    mid_re = re[..., 1 : n - keep + 1]
+    mid_im = im[..., 1 : n - keep + 1]
+
+    def roll_flip(a):
+        return jnp.roll(jnp.flip(a, -2), 1, axis=-2)
+
+    tail_re = roll_flip(jnp.flip(mid_re, -1))
+    tail_im = roll_flip(-jnp.flip(mid_im, -1))
+    return (
+        jnp.concatenate([re, tail_re], axis=-1),
+        jnp.concatenate([im, tail_im], axis=-1),
+    )
+
+
+def upsampled_band_spectrum(band: jax.Array, factor: int = 4):
+    """Half spectrum of the x``factor`` cubic-upsampled band tile, computed
+    spectrally: F_up[Ky,Kx] = Hr(Ky) Hc(Kx) F_band[Ky mod m, Kx mod n].
+
+    16x cheaper than upsample + full-size transform; exact for circular
+    upsampling (fast-mode: differs from the replicate-edge cv::resize only
+    in the tiles' 2-3 border samples).  Returns (re, im) with shape
+    (factor*m, (factor*n)//2 + 1).
+    """
+    from .fft_mxu import rfft2_mxu
+
+    m, n = band.shape
+    M, N = factor * m, factor * n
+    keep = N // 2 + 1
+    fr, fi = rfft2_mxu(band.astype(jnp.float32))
+    fr, fi = _hermitian_full(fr, fi, n)      # (m, n) full small spectrum
+
+    # tile: rows x factor, cols to cover Kx in [0, keep)
+    fr = jnp.tile(fr, (factor, 1))
+    fi = jnp.tile(fi, (factor, 1))
+    reps = -(-keep // n)
+    fr = jnp.tile(fr, (1, reps + 1))[:, :keep]
+    fi = jnp.tile(fi, (1, reps + 1))[:, :keep]
+
+    hr_re, hr_im = (jnp.asarray(v) for v in _upsample_filter_response(m, factor))
+    hc_re, hc_im = (jnp.asarray(v) for v in _upsample_filter_response(n, factor))
+    hc_re = hc_re[:keep]
+    hc_im = hc_im[:keep]
+    # complex multiply by Hr (per row) then Hc (per column)
+    r1 = fr * hr_re[:, None] - fi * hr_im[:, None]
+    i1 = fr * hr_im[:, None] + fi * hr_re[:, None]
+    r2 = r1 * hc_re[None, :] - i1 * hc_im[None, :]
+    i2 = r1 * hc_im[None, :] + i1 * hc_re[None, :]
+    return r2, i2
+
+
 @functools.lru_cache(maxsize=32)
 def _eval_consts(n: int, keep: int, win: int, rows_axis: bool):
     """DFT-evaluation matrices for reconstructing the correlation surface
