@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .crc16 import crc16_ccitt_false, crc16_ccitt_false_many
+from .crc16 import crc16_ccitt_false
 
 # --- AOS physical frames (aux_separator.h:29-57) ---------------------------
 SYNC_BYTES = b"\x1a\xcf\xfc\x1d"

@@ -45,7 +45,6 @@ from ..constants import (
     IBPA_STEM_EXT,
     MSS_BANDS,
     PIXELS_PER_LINE,
-    PIXELS_PER_MSSBAND,
     RRC_STEM_EXT,
     TIFF_FILE_EXT,
 )

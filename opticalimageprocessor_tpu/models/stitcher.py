@@ -21,10 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import (
-    BYTES_PER_PANLINE,
     BYTES_PER_PIXEL,
     IBPA_DEFAULT_BATCHLINES,
-    MSS_BANDS,
     PIXELS_PER_LINE,
     PRESTT_STEM_EXT,
     RAW_FILE_EXT,

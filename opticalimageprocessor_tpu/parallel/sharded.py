@@ -27,8 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..constants import MSS_BANDS
 from ..ops.resample import upsample4_f32
