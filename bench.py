@@ -34,10 +34,8 @@ def main() -> None:
         PIXELS_PER_MSSBAND,
     )
     from opticalimageprocessor_tpu.ops import phasecorr, resample, rrc
-    from opticalimageprocessor_tpu.parallel.sharded import (
-        remap_band_dynamic_chunked,
-        _fit_poly,
-    )
+    from opticalimageprocessor_tpu.ops.resample import remap_band_fast_chunked
+    from opticalimageprocessor_tpu.parallel.sharded import _fit_poly
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
@@ -155,8 +153,9 @@ def main() -> None:
         if "remap" in stages:
             aligned = jnp.stack(
                 [
-                    remap_band_dynamic_chunked(
-                        mss_c[i], coeffs[i][0], coeffs[i][1], chunk_rows=1024
+                    remap_band_fast_chunked(
+                        mss_c[i], coeffs[i][0], coeffs[i][1],
+                        chunk_rows=1024, row_bound=3,
                     )
                     for i in range(MSS_BANDS)
                 ],
@@ -168,7 +167,9 @@ def main() -> None:
         if "prestt" in stages:
             zero2 = jnp.asarray([1.5, 0.0], jnp.float32)
             zeroy = jnp.asarray([-0.75, 0.0, 0.0], jnp.float32)
-            prestt = remap_band_dynamic_chunked(pan_c, zero2, zeroy, chunk_rows=1024)
+            prestt = remap_band_fast_chunked(
+                pan_c, zero2, zeroy, chunk_rows=1024, row_bound=3
+            )
         else:
             prestt = pan_c
         # stitch: seam concat of the two halves

@@ -79,8 +79,10 @@ _FACTOR_MAX = 2048   # largest per-factor direct DFT matrix
 
 def _factor(n: int) -> tuple[int, int]:
     """Split composite n into n1*n2 with both factors <= _FACTOR_MAX,
-    preferring balance.  Returns (n, 1) when n is small enough to go direct
-    (<= _DIRECT_MAX, or <= _FACTOR_MAX with no usable split, e.g. primes)."""
+    preferring balance.  Falls back to a direct (n, 1) transform when n is
+    small (<= _DIRECT_MAX), has no usable split (primes), or only very
+    unbalanced splits (a tiny second factor starves the MXU — a direct
+    1228x1228 matmul beats a (307, 4) four-step)."""
     if n <= _DIRECT_MAX:
         return n, 1
     f = int(np.sqrt(n))
@@ -88,6 +90,8 @@ def _factor(n: int) -> tuple[int, int]:
         if n % n1 == 0:
             n2 = n // n1
             if n1 <= _FACTOR_MAX and n2 <= _FACTOR_MAX:
+                if min(n1, n2) < 8 and n <= _FACTOR_MAX:
+                    return n, 1
                 return (n1, n2) if n1 >= n2 else (n2, n1)
     if n <= _FACTOR_MAX:
         return n, 1
