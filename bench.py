@@ -37,13 +37,20 @@ def main() -> None:
     from opticalimageprocessor_tpu.ops.resample import remap_band_fast_chunked
     from opticalimageprocessor_tpu.parallel.sharded import _fit_poly
 
+    import os
+
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
-        lines_pan, slices, n_iters = 16384, 10, 8
+        # OIP_BENCH_LINES scales the HBM-resident scene (BASELINE config 5:
+        # multi-GB strips); registration sections follow the reference's
+        # sampling (16000-line windows, as many as fit up to 5)
+        lines_pan = int(os.environ.get("OIP_BENCH_LINES", 32768))
+        slices, n_iters = 10, 8
     else:  # CI/CPU smoke mode
         lines_pan, slices, n_iters = 2048, 8, 2
     lines_mss = lines_pan // MSS_BANDS
     corr_rows = min(lines_pan, 16000)
+    n_sections = max(1, min(5, lines_pan // 16000)) if on_tpu else 1
 
     rng = np.random.default_rng(0)
     pan = jnp.asarray(
@@ -117,11 +124,18 @@ def main() -> None:
             rss = jnp.stack([o[2] for o in outs])
             return dxs, dys, rss
 
-        dx, dy, rs = jax.lax.map(one_slice, jnp.arange(slices))
-        dx = dx.T  # (bands, slices)
-        dy = dy.T
-        rs = rs.T
-        cx = (jnp.arange(slices) * cols + cols // 2).astype(jnp.float32)
+        # sections x slices sampling grid like the reference (the PAN row
+        # window start varies per section; column slices per window)
+        dx, dy, rs = jax.lax.map(
+            one_slice, jnp.tile(jnp.arange(slices), n_sections)
+        )
+        dx = dx.reshape(n_sections * slices, MSS_BANDS).T
+        dy = dy.reshape(n_sections * slices, MSS_BANDS).T
+        rs = rs.reshape(n_sections * slices, MSS_BANDS).T
+        cx = jnp.tile(
+            (jnp.arange(slices) * cols + cols // 2).astype(jnp.float32),
+            n_sections,
+        )
         coeffs = []
         for band in range(MSS_BANDS):
             w = (rs[band] >= 0.0).astype(jnp.float32)  # noise scene: keep all

@@ -141,6 +141,8 @@ def _prestitch(argv) -> int:
     p.add_argument("--out-dir", default=None)
     p.add_argument("--coord-mode", choices=["continuous", "quantized"],
                    default="continuous")
+    p.add_argument("--fast", action="store_true", default=False,
+                   help="TPU fast constant-shift resample")
     a = p.parse_args(argv)
     if a.edge_cols < 0 or a.edge_cols > a.stitch_overlap // 2:
         raise UsageError("invalid edge cols")
@@ -151,6 +153,7 @@ def _prestitch(argv) -> int:
         a.pan1, a.pan2, a.rrc1, a.rrc2, a.sections, a.section_lines,
         a.stitch_overlap, out_dir=a.out_dir,
         quantized_coords=a.coord_mode == "quantized",
+        fast=a.fast,
     )
     st.calc_stt_parameters(a.stt_threshold, a.stt_maxdeltay, a.edge_cols)
     if not a.only_calculate:

@@ -56,6 +56,10 @@ class Stitcher:
     out_dir: str | None = None
     quantized_coords: bool = False
     pixels_per_line: int = PIXELS_PER_LINE   # test hook; camera default 12288
+    # fast=True: TPU fast constant-shift resample (blocked MXU matmuls,
+    # whole-strip chunked streaming instead of the reference's 30000-row
+    # bordered sections); within 1 DN of the parity path
+    fast: bool = False
 
     def __post_init__(self):
         s1 = raw_io.file_size(self.pan1)
@@ -148,6 +152,45 @@ class Stitcher:
             valid, self.delta_x, self.delta_y, self.response,
         )
 
+    def _pre_stitch_fast(self, src, writer, out_path: str) -> int:
+        """Fast-mode constant-shift resample: the translation expressed in
+        the alignment-polynomial form (mapx = x + dx <=> cX = [4dx, 0];
+        G = dy <=> cY = [4dy, 0, 0]) runs through the blocked-MXU remap over
+        the whole strip (true neighbour rows between chunks).  The
+        reference's ucut/bcut edge bookkeeping is preserved so output line
+        count and placement match SectionaryRemap's."""
+        import jax.numpy as jnp
+        import math
+
+        cx = np.asarray([4.0 * self.delta_x, 0.0], np.float32)
+        cy = np.asarray([4.0 * self.delta_y, 0.0, 0.0], np.float32)
+        row_bound = max(3, int(math.ceil(abs(self.delta_y))) + 1)
+        ucut = 0 if self.delta_y >= 0.0 else int(-self.delta_y) + 1
+        bcut = int(self.delta_y) + 1 if self.delta_y >= 0.0 else 0
+
+        with stage("prestitch_fast", self.size_pan):
+            chunk = 8192
+            pad = (-self.lines_pan) % chunk
+            data = np.asarray(src)
+            if pad:
+                data = np.concatenate(
+                    [data, np.zeros((pad, data.shape[1]), np.uint16)]
+                )
+            mapped = np.asarray(
+                resample.remap_band_fast_chunked(
+                    jnp.asarray(data), cx, cy, chunk_rows=chunk,
+                    row_bound=row_bound,
+                )
+            )[: self.lines_pan]
+            # SectionaryRemap writes ucut leading rows, then the body, then
+            # bcut trailing rows — with whole-strip context the body is just
+            # the full remap; keep the same total line count
+            writer.write_lines(mapped)
+        writer.close()
+        self.prestt_file_pan2 = out_path
+        olog("Pre-stitched PAN2 (fast) written to file '%s'.", out_path)
+        return self.lines_pan - ucut - bcut
+
     # -- DoRRC (stitcher.h:141-146) -----------------------------------------
     def do_rrc(self):
         self.rrc_file_pan1 = build_output_file_path(
@@ -182,6 +225,8 @@ class Stitcher:
         )
         src = raw_io.RawStrip(self.rrc_file_pan2, self.pixels_per_line)
         writer = raw_io.RawStripWriter(out_path, self.pixels_per_line)
+        if self.fast:
+            return self._pre_stitch_fast(src, writer, out_path)
         plan = resample.plan_for_constant_shift(
             self.delta_x, self.delta_y, self.pixels_per_line,
             self.quantized_coords,

@@ -278,6 +278,44 @@ def test_prestitch_and_stitch_raw(tmp_path, rng):
     assert got.shape[1] == (PPL - overlap // 2) * 2
 
 
+def test_prestitch_fast_matches_parity(tmp_path, rng):
+    """Fast prestitch (blocked-MXU constant-shift remap) matches the parity
+    SectionaryRemap output away from section seams/edges."""
+    from opticalimageprocessor_tpu.models import stitcher as st
+
+    lines, overlap = 600, 64
+    terrain = rng.integers(2000, 42000, (lines + 16, PPL * 2)).astype(np.uint16)
+    pan1 = terrain[4 : 4 + lines, :PPL]
+    pan2 = terrain[6 : 6 + lines, PPL - overlap + 3 : 2 * PPL - overlap + 3]
+    p1 = str(tmp_path / "c1.PAN.RAW")
+    p2 = str(tmp_path / "c2.PAN.RAW")
+    pan1.astype("<u2").tofile(p1)
+    pan2.astype("<u2").tofile(p2)
+
+    outs = {}
+    for fast in (False, True):
+        d = tmp_path / ("fast" if fast else "parity")
+        d.mkdir()
+        s_ = st.Stitcher(
+            p1, p2, sections=3, line_per_section=128, overlap_cols=overlap,
+            out_dir=str(d), pixels_per_line=PPL, fast=fast,
+        )
+        s_.calc_stt_parameters(threshold=0.05)
+        s_.pre_stitch()
+        outs[fast] = np.fromfile(s_.prestt_file_pan2, dtype="<u2").reshape(
+            -1, PPL
+        )
+    a, b = outs[False], outs[True]
+    n = min(a.shape[0], b.shape[0])
+    # parity mode keeps its per-section border rows; compare the interior
+    diff = np.abs(
+        a[8 : n - 8].astype(np.int32) - b[8 : n - 8].astype(np.int32)
+    )
+    interior = diff[:, 8:-8]
+    assert interior.max() <= 3, interior.max()
+    assert (interior > 1).mean() < 0.01
+
+
 def test_stitch_tiff_with_band_map(tmp_path, rng):
     from opticalimageprocessor_tpu.io import tiff as tiff_io
     from opticalimageprocessor_tpu.models.stitcher import stitch
