@@ -194,6 +194,10 @@ def main() -> None:
 
     out = pipeline(pan, mss, pan_params, mss_params)
     jax.block_until_ready(out)
+    # force a readback: through the TPU tunnel block_until_ready can return
+    # before execution fully completes, which would push warmup cost into
+    # the first timed iteration
+    _ = np.asarray(out[0][0, 0])
 
     times = []
     for it in range(n_iters):

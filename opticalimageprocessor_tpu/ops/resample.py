@@ -22,10 +22,14 @@ selected per pixel by comparison masks — multiply-adds on the VPU, no
 gather unit, no dynamic shapes.  The shift ranges are computed on the host
 from the fitted polynomials and specialise the compiled kernel.
 
-Parity: bit-exact to ops/cv_exact.remap_cubic_u16_exact (same float32
-weight expressions, same interior accumulation order, border value 0), in
-either coordinate convention (``quantized_coords=True`` = OpenCV <= 4.x
-1/32-px grid, False = OpenCV 5.x continuous).
+Parity: the parity path reproduces ops/cv_exact.remap_cubic_u16_exact
+(same float32 weight expressions, same interior accumulation order, border
+value 0) in either coordinate convention (``quantized_coords=True`` =
+OpenCV <= 4.x 1/32-px grid, False = OpenCV 5.x continuous); bit-for-bit on
+the TPU backend, within 1 DN on backends whose codegen fuses multiply-adds
+(XLA:CPU).  The fast path (remap_band_fast*) additionally trades the
+float32 map-storage rounding and the VPU accumulation order for blocked
+MXU matmuls — within 1 DN of the parity path on imagery.
 """
 
 from __future__ import annotations
