@@ -94,18 +94,28 @@ def main() -> None:
 
         fft_mxu.set_stage_dtype(jnp.bfloat16)  # fast mode: <2e-3 px effect
 
+    sec_stride = max(
+        1, (lines_pan - corr_rows) // max(1, n_sections - 1) if n_sections > 1 else 0
+    )
+
     def register(pan_c, mss_c):
-        # one slice at a time (lax.map) so HBM holds one tile's transform
-        # working set; the PAN tile's forward FFT is shared by all 4 bands
-        def one_slice(i):
+        # one (section, slice) tile at a time (lax.map) so HBM holds one
+        # tile's transform working set; the PAN tile's forward FFT is shared
+        # by all 4 bands.  Sections sample different row windows like the
+        # reference (preproc.h:245-259).
+        def one_slice(idx):
+            sec = idx // slices
+            i = idx % slices
+            row0 = sec * sec_stride
             pt = jax.lax.dynamic_slice(
-                pan_c, (0, i * cols), (corr_rows, cols)
+                pan_c, (row0, i * cols), (corr_rows, cols)
             ).astype(jnp.float32)
             far, fai = phasecorr.rfft2_padded(pt, pad, use_mxu)
             outs = []
             for band in range(MSS_BANDS):
                 bt = jax.lax.dynamic_slice(
-                    mss_c, (band, 0, i * bcols), (1, brows, bcols)
+                    mss_c, (band, row0 // MSS_BANDS, i * bcols),
+                    (1, brows, bcols),
                 )[0]
                 if use_mxu:
                     # spectral upsample: F_up = H * tiled(F_band) — 16x
@@ -124,10 +134,8 @@ def main() -> None:
             rss = jnp.stack([o[2] for o in outs])
             return dxs, dys, rss
 
-        # sections x slices sampling grid like the reference (the PAN row
-        # window start varies per section; column slices per window)
         dx, dy, rs = jax.lax.map(
-            one_slice, jnp.tile(jnp.arange(slices), n_sections)
+            one_slice, jnp.arange(n_sections * slices)
         )
         dx = dx.reshape(n_sections * slices, MSS_BANDS).T
         dy = dy.reshape(n_sections * slices, MSS_BANDS).T
