@@ -116,14 +116,19 @@ def _cmatmul(a_re, a_im, c, s):
     return re, im
 
 
-def _dft_last_axis(x_re, x_im, n: int, inverse: bool):
+def _dft_last_axis(x_re, x_im, n: int, inverse: bool, keep: int | None = None):
     """1-D DFT along the last axis of (..., n), four-step when n is large.
 
-    Returns (re, im); no 1/n normalisation (callers handle it).
+    Returns (re, im); no 1/n normalisation (callers handle it).  ``keep``
+    truncates the output to the first ``keep`` bins when the direct path is
+    taken (halves the matmul + write cost of a real transform's first pass).
     """
     n1, n2 = _factor(n)
     if n2 == 1:
         c, s = (jnp.asarray(v) for v in _dft_consts(n, inverse))
+        if keep is not None and keep < n:
+            c = c[:, :keep]
+            s = s[:, :keep]
         return _cmatmul(x_re, x_im, c, s)
 
     # four-step: x[(j1, j2)] -> A[k1, j2] = DFT_n1 over j1
@@ -178,8 +183,8 @@ def rfft2_mxu(x):
     """rfft2 of a real (..., H, W) float32 array -> (re, im) of shape
     (..., H, W//2+1)."""
     h, w = x.shape[-2], x.shape[-1]
-    re, im = _dft_last_axis(x, None, w, inverse=False)
     keep = w // 2 + 1
+    re, im = _dft_last_axis(x, None, w, inverse=False, keep=keep)
     re = re[..., :keep]
     im = im[..., :keep]
     re = jnp.swapaxes(re, -1, -2)
