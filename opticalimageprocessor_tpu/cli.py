@@ -218,18 +218,38 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _print_stage_report() -> None:
+    """Per-stage seconds/MBps summary (the reference's ubiquitous
+    stop_watch/comma_sep instrumentation, aggregated)."""
+    from .utils.logging import olog, stage_report
+
+    rep = stage_report()
+    if not rep:
+        return
+    olog("==== stage report ====")
+    for name, st in rep.items():
+        olog(
+            "%-24s %8.3f s  %10.1f MBps  (%d calls)",
+            name, st["seconds"], st["MBps"] if st["bytes"] else 0.0,
+            st["calls"],
+        )
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     _enable_compile_cache()
     try:
         if argv and argv[0] == "auxsep":
-            return _auxsep(argv[1:])
-        if argv and argv[0] == "prestitch":
-            return _prestitch(argv[1:])
-        if argv and argv[0] == "stitch":
-            return _stitch(argv[1:])
-        a = _build_default_parser().parse_args(argv)
-        return _default_action(a)
+            rc = _auxsep(argv[1:])
+        elif argv and argv[0] == "prestitch":
+            rc = _prestitch(argv[1:])
+        elif argv and argv[0] == "stitch":
+            rc = _stitch(argv[1:])
+        else:
+            a = _build_default_parser().parse_args(argv)
+            rc = _default_action(a)
+        _print_stage_report()
+        return rc
     except UsageError as e:
         print(f"USAGE ERROR: {e}.")
         return 254
