@@ -176,6 +176,15 @@ def _hermitian_full(re, im, n: int):
     )
 
 
+def band_full_spectrum_small(band: jax.Array):
+    """Full (not half) 2-D spectrum of a small band tile, as (re, im)."""
+    from .fft_mxu import rfft2_mxu
+
+    n = band.shape[-1]
+    fr, fi = rfft2_mxu(band.astype(jnp.float32))
+    return _hermitian_full(fr, fi, n)
+
+
 def upsampled_band_spectrum(band: jax.Array, factor: int = 4):
     """Half spectrum of the x``factor`` cubic-upsampled band tile, computed
     spectrally: F_up[Ky,Kx] = Hr(Ky) Hc(Kx) F_band[Ky mod m, Kx mod n].
@@ -269,6 +278,12 @@ def peak_from_spectra_windowed(
     # contract ky -> window rows, real output: Re((dr+idi)(cos+isin))
     corr = (_mm(cy_c.T, dr) - _mm(cy_s.T, di)) / jnp.float32(M * N)
 
+    return _centroid_on_window(corr, win_y, win_x)
+
+
+def _centroid_on_window(corr: jax.Array, win_y: int, win_x: int):
+    """Arg-max + 5x5 weighted centroid on a (2*win_y+1, 2*win_x+1) windowed
+    correlation surface; returns (dx, dy, response)."""
     wy = 2 * win_y + 1
     wx = 2 * win_x + 1
     peak = jnp.argmax(corr)

@@ -59,3 +59,29 @@ def test_polyfit_recovers_model(rng):
     cxc, cyc = polyfit.fit_shift_models(cx, dx, dy, valid)
     assert abs(cxc[0] - 0.5) < 1e-3 and abs(cxc[1] - 1e-4) < 1e-6
     assert abs(cyc[0] + 1.5) < 1e-3 and abs(cyc[2] - 3e-9) < 1e-12
+
+
+def test_fused_windowed_crosspower_matches_unfused(rng):
+    """The Pallas fused windowed cross-power (interpret mode) matches the
+    unfused spectral path."""
+    import jax.numpy as jnp
+
+    from opticalimageprocessor_tpu.ops import resample
+    from opticalimageprocessor_tpu.ops.phasecorr_pallas import (
+        windowed_crosspower_fused,
+    )
+
+    band = (rng.random((248, 64)) * 1000).astype(np.float32)
+    up = np.asarray(resample.upsample4_f32(jnp.asarray(band)))
+    pan = np.roll(np.roll(up, 4, axis=0), -2, axis=1)
+    pad = (992, 256)
+    far, fai = phasecorr.rfft2_padded(jnp.asarray(pan), pad, True)
+    fbr, fbi = phasecorr.upsampled_band_spectrum(jnp.asarray(band))
+    want = phasecorr.peak_from_spectra_windowed(far, fai, fbr, fbi, pad, 16, 16)
+    fbrs, fbis = phasecorr.band_full_spectrum_small(jnp.asarray(band))
+    got = windowed_crosspower_fused(
+        far, fai, fbrs, fbis, pad, 248, 16, 16, interpret=True
+    )
+    assert abs(float(got[0]) - float(want[0])) < 5e-3
+    assert abs(float(got[1]) - float(want[1])) < 5e-3
+    assert abs(float(got[2]) - float(want[2])) < 5e-3
