@@ -242,16 +242,12 @@ def resize_cubic_f32_exact(src: np.ndarray, dst_h: int, dst_w: int) -> np.ndarra
     ) + g[..., 3] * wxt[None, :, 3]
     # vertical
     ty, wyt = offsets(dst_h, sh)
-    gv = hbuf[tx_rows(ty)]  # (dst_h, 4, dst_w)
+    gv = hbuf[ty]  # (dst_h, 4, dst_w) row-tap fancy index
     out = (
         (gv[:, 0, :] * wyt[:, 0:1] + gv[:, 1, :] * wyt[:, 1:2])
         + gv[:, 2, :] * wyt[:, 2:3]
     ) + gv[:, 3, :] * wyt[:, 3:4]
     return out.astype(np.float32)
-
-
-def tx_rows(ty: np.ndarray) -> np.ndarray:
-    return ty  # (dst_h, 4) row indices; fancy-indexing helper
 
 
 # ---------------------------------------------------------------------------
