@@ -568,18 +568,28 @@ def remap_band_fast(
         )
     else:
         g = g_override
+    colg = _col_interp_apply(src.astype(f32), col_matrix)
+    halo_top = row_bound + 1
+    padded = jnp.pad(colg, ((halo_top, row_bound + 2), (0, 0)))
+    acc = _fast_row_pass(padded, g, rows, width, row_bound, halo_top)
+    return jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
+
+
+def _fast_row_pass(
+    padded: jax.Array,
+    g: jax.Array,
+    rows: int,
+    width: int,
+    row_bound: int,
+    halo_top: int,
+) -> jax.Array:
+    """Vertical cubic as per-column shifted MACs on a row-padded column-
+    interpolated buffer: out[y, x] = sum_u coeff_u[x] * padded[y + ht + u, x]
+    with coeff_u[x] = sum_a wys[a][x] * [floor(G[x]) + a - 1 == u]."""
+    f32 = jnp.float32
     iy0 = jnp.floor(g).astype(jnp.int32)       # per-column row offset
     fy = g - iy0.astype(f32)
     wys = _cubic_weights_f32(fy)               # 4 x (W,)
-
-    colg = _col_interp_apply(src.astype(f32), col_matrix)
-
-    halo_top = row_bound + 1
-    halo_bottom = row_bound + 2
-    padded = jnp.pad(colg, ((halo_top, halo_bottom), (0, 0)))
-
-    # per-column coefficient for each static row shift u = iy0 + a - 1:
-    # coeff_u[x] = sum_a wys[a][x] * [iy0[x] + a - 1 == u]
     acc = jnp.zeros((rows, width), f32)
     for u in range(-row_bound - 1, row_bound + 3):
         cu = jnp.zeros((width,), f32)
@@ -589,7 +599,7 @@ def remap_band_fast(
             padded, halo_top + u, rows, axis=0
         )
         acc = acc + rows_u * cu[None, :]
-    return jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
+    return acc
 
 
 def remap_band_fast_chunked(

@@ -62,7 +62,7 @@ def remap_band_dynamic(
     from ..ops.resample import (
         _col_interp_apply,
         _col_interp_matrix,
-        _cubic_weights_f32 as _cw,
+        _fast_row_pass,
     )
 
     f32 = jnp.float32
@@ -75,9 +75,6 @@ def remap_band_dynamic(
     g = (
         coeff_y[2] * xx * xx + coeff_y[1] * xx + coeff_y[0]
     ) / jnp.float32(MSS_BANDS)
-    iy0 = jnp.floor(g).astype(jnp.int32)
-    fy = g - iy0.astype(f32)
-    wys = _cw(fy)
 
     colg = _col_interp_apply(band_local.astype(f32), col_matrix)
     rb = ROW_OFF_BOUND
@@ -88,13 +85,7 @@ def remap_band_dynamic(
     else:
         padded = jnp.pad(colg, ((halo_top, halo_bottom), (0, 0)))
 
-    acc = jnp.zeros((rows, width), f32)
-    for u in range(-rb - 1, rb + 3):
-        cu = jnp.zeros((width,), f32)
-        for a in range(4):
-            cu = cu + jnp.where(iy0 + a - 1 == u, wys[a], f32(0))
-        rows_u = jax.lax.dynamic_slice_in_dim(padded, halo_top + u, rows, 0)
-        acc = acc + rows_u * cu[None, :]
+    acc = _fast_row_pass(padded, g, rows, width, rb, halo_top)
     return jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
 
 
