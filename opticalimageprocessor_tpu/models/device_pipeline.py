@@ -12,8 +12,8 @@ reference's default + prestitch + stitch commands, HBM-resident end to end:
      (blocked-MXU remap, lax.map row-chunk streaming)
   -> CMOS seam concat
 
-This is the throughput path measured by bench.py (3.2 Gpix/s/chip on one
-v5e at a 32768-line scene).  The host-orchestrated models
+This is the throughput path measured by bench.py (3.4 Gpix/s/chip on one
+v5e at a 32768-line scene; remap chunk_rows tuned for HBM locality).  The host-orchestrated models
 (PreProcessor/Stitcher) remain the parity-exact route with file IO and the
 reference's sectioning semantics; this pipeline trades those for the
 documented fast-mode envelope (see ops/resample.remap_band_fast,
@@ -120,7 +120,7 @@ def make_device_pipeline(
     slices: int = 10,
     n_sections: int | None = None,
     fold: int = 200,
-    chunk_rows: int = 1024,
+    chunk_rows: int = 256,
     row_bound: int = 3,
     prestitch_shift: tuple[float, float] = (1.5, -0.75),
 ):
