@@ -22,11 +22,8 @@ ops/phasecorr.peak_from_spectra_windowed).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..constants import CORRELATION_LINES, MSS_BANDS, PIXELS_PER_LINE
 from ..ops import phasecorr, resample, rrc
