@@ -10,9 +10,10 @@ registration sampling, 4-band alignment resample, prestitch resample,
 seam concat.  OIP_BENCH_LINES scales the scene (default 32768 lines;
 65536 = the multi-GB BASELINE config).
 
-Pixels counted = every pixel ingested by the pipeline (PAN + MSS + PAN2),
-matching the reference's own MB/s accounting which instruments each stage
-over its input bytes.
+Pixels counted = every input pixel, exactly once: PAN1 (RRC + registration
++ stitch left half) + PAN2 (its own RRC + on-device stt-parameter
+estimation + prestitch resample + stitch right half) + MSS (RRC +
+registration + 4-band alignment resample).
 """
 
 from __future__ import annotations
@@ -50,21 +51,44 @@ def main() -> None:
     lines_mss = lines_pan // MSS_BANDS
 
     rng = np.random.default_rng(0)
-    pan = jnp.asarray(
-        rng.integers(0, 65536, (lines_pan, PIXELS_PER_LINE), dtype=np.uint16)
+    # real camera geometry: the PAN sensor sees the MSS-resolution scene at
+    # 4x; the MSS bands are small per-band translations of it; PAN2 (the
+    # second CMOS) overlaps PAN1's right edge with a small mounting offset.
+    # Content only affects whether the registration/stt samples pass the
+    # 0.4 response filter — the FLOPs are content-independent.
+    from opticalimageprocessor_tpu.ops import resample
+
+    scene = rng.integers(
+        2000, 42000, (lines_mss, PIXELS_PER_MSSBAND), dtype=np.uint16
+    )
+    pan1 = jnp.clip(
+        jnp.rint(resample.upsample4_f32(jnp.asarray(scene, jnp.float32))),
+        0, 65535,
+    ).astype(jnp.uint16)
+    # PAN2's left 200 columns see PAN1's right-edge ground (dual-CMOS
+    # overlap) with a small (dx=-3, dy=+2) mounting offset
+    pan2 = jnp.roll(
+        jnp.roll(pan1, 2, axis=0), 200 - 3 - PIXELS_PER_LINE, axis=1
     )
     mss = jnp.asarray(
-        rng.integers(
-            0, 65536, (MSS_BANDS, lines_mss, PIXELS_PER_MSSBAND),
-            dtype=np.uint16,
+        np.stack(
+            [
+                np.roll(np.roll(scene, b % 2, axis=0), b - 1, axis=1)
+                for b in range(MSS_BANDS)
+            ]
         )
     )
-    pan_params = jnp.asarray(
-        rrc.split_rrc_params(
-            0.98 + 0.04 * rng.random(PIXELS_PER_LINE),
-            rng.normal(0, 20, PIXELS_PER_LINE),
+    del scene
+
+    def rand_params(n):
+        return jnp.asarray(
+            rrc.split_rrc_params(
+                0.98 + 0.04 * rng.random(n), rng.normal(0, 20, n)
+            )
         )
-    )
+
+    pan1_params = rand_params(PIXELS_PER_LINE)
+    pan2_params = rand_params(PIXELS_PER_LINE)
     mss_params = jnp.asarray(
         np.stack(
             [
@@ -78,8 +102,9 @@ def main() -> None:
     )
 
     pipeline = make_device_pipeline(slices=slices)
+    args = (pan1, pan2, mss, pan1_params, pan2_params, mss_params)
 
-    out = pipeline(pan, mss, pan_params, mss_params)
+    out = pipeline(*args)
     jax.block_until_ready(out)
     # force a readback: through the TPU tunnel block_until_ready can return
     # before execution fully completes, which would push warmup cost into
@@ -89,7 +114,7 @@ def main() -> None:
     times = []
     for it in range(n_iters):
         t0 = time.perf_counter()
-        out = pipeline(pan, mss, pan_params, mss_params)
+        out = pipeline(*args)
         jax.block_until_ready(out)
         _ = np.asarray(out[0][it % 7, it % 5])
         times.append(time.perf_counter() - t0)
@@ -97,11 +122,15 @@ def main() -> None:
     import sys
 
     print("times:", [round(t, 4) for t in times], file=sys.stderr)
+    print(
+        "valid: register", np.asarray(out[2]).tolist(),
+        "stt", int(out[3]), file=sys.stderr,
+    )
 
     px = (
-        lines_pan * PIXELS_PER_LINE                   # PAN RRC+stitch path
-        + MSS_BANDS * lines_mss * PIXELS_PER_MSSBAND  # MSS RRC+align
-        + lines_pan * PIXELS_PER_LINE                 # prestitch PAN2
+        lines_pan * PIXELS_PER_LINE                   # PAN1
+        + lines_pan * PIXELS_PER_LINE                 # PAN2
+        + MSS_BANDS * lines_mss * PIXELS_PER_MSSBAND  # MSS
     )
     gpix = px / dt / 1e9
     print(

@@ -3,13 +3,16 @@
 One jitted program covering the whole per-scene compute chain of the
 reference's default + prestitch + stitch commands, HBM-resident end to end:
 
-  RRC(PAN) + RRC(4 x MSS)                      # Pallas kernel
+  RRC(PAN1) + RRC(PAN2) + RRC(4 x MSS)         # Pallas kernel
   -> registration: sections x slices sampling grid, PAN tile spectrum
      shared across bands, spectral band upsample, windowed correlation
-     peak (ops/fft_mxu + ops/phasecorr fast paths)
+     peak (ops/fft_mxu + ops/phasecorr fast paths), response filter at
+     the reference's 0.4 threshold
   -> weighted polynomial shift fit (on device)
-  -> 4-band alignment resample + prestitch constant-shift resample
-     (blocked-MXU remap, lax.map row-chunk streaming)
+  -> stt-parameter estimation: PAN1 right-edge vs PAN2 left-edge overlap
+     correlation over sampled sections (CalcSttParameters analogue)
+  -> 4-band alignment resample + prestitch constant-shift resample of
+     PAN2 (blocked-MXU remap, lax.map row-chunk streaming)
   -> CMOS seam concat
 
 This is the throughput path measured by bench.py (3.4 Gpix/s/chip on one
@@ -25,10 +28,30 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..constants import CORRELATION_LINES, MSS_BANDS, PIXELS_PER_LINE
+from ..constants import (
+    CORRELATION_LINES,
+    IBCV_DEF_THRESHOLD,
+    IBCV_MIN_COUNT,
+    MSS_BANDS,
+    PIXELS_PER_LINE,
+)
 from ..ops import phasecorr, resample, rrc
 from ..ops.cv_exact import get_optimal_dft_size
-from ..parallel.sharded import _fit_poly
+
+
+def _fit_poly(cx, y, deg: int, w=None):
+    """Small weighted least-squares on device (float32)."""
+    # normalise x for conditioning
+    scale = jnp.float32(1.0 / 4096.0)
+    xn = cx * scale
+    v = jnp.stack([xn**k for k in range(deg + 1)], axis=-1)
+    if w is not None:
+        v = v * w[:, None]
+        y = y * w
+    coeffs, *_ = jnp.linalg.lstsq(v, y)
+    return coeffs * jnp.asarray(
+        [scale**k for k in range(deg + 1)], coeffs.dtype
+    )
 
 
 def register_fast(
@@ -38,11 +61,17 @@ def register_fast(
     n_sections: int | None = None,
     win: tuple[int, int] = (64, 64),
     exact_sizes: bool = False,
+    threshold: float = IBCV_DEF_THRESHOLD,
 ):
     """Fast registration: per-(section, slice) windowed phase correlation.
 
     ``pan_c``: (L_pan, W) uint16 (RRC'd); ``mss_c``: (4, L_mss, W/4) uint16.
-    Returns per-band (coeff_x[2], coeff_y[3]) fitted on the device.
+    Returns (coeffs, n_valid): per-band (coeff_x[2], coeff_y[3]) fitted on
+    the device over samples with response >= ``threshold`` (the reference's
+    0.4 filter, oipshared.h:35 + preproc.h:492-503), and the per-band valid
+    sample count (4,) int32 — check it against IBCV_MIN_COUNT with
+    :func:`check_registration_valid` outside the jitted program (the
+    reference errors below 5 valid, preproc.h:505-510).
 
     Fast-mode choices (vs models.preprocessor's parity registration): the
     correlation length equals the tile (no optimal-DFT padding) so the band
@@ -105,12 +134,92 @@ def register_fast(
         n_sections,
     )
     coeffs = []
+    n_valid = []
     for band in range(MSS_BANDS):
-        w = (rs[band] >= 0.0).astype(jnp.float32)
+        w = (rs[band] >= threshold).astype(jnp.float32)
+        n_valid.append(w.sum().astype(jnp.int32))
         coeffs.append(
             (_fit_poly(cx, dx[band], 1, w), _fit_poly(cx, dy[band], 2, w))
         )
-    return coeffs
+    return coeffs, jnp.stack(n_valid)
+
+
+def check_registration_valid(n_valid) -> None:
+    """Host-side min-count check on :func:`register_fast`'s per-band valid
+    sample counts (the reference's FilterInterBandShiftValues failure,
+    preproc.h:505-510)."""
+    counts = [int(v) for v in n_valid]
+    for b, n in enumerate(counts):
+        if n < IBCV_MIN_COUNT:
+            raise RuntimeError(
+                f"Not enough valid correlation values for band#{b + 1}: "
+                f"{n} valid values found, {IBCV_MIN_COUNT} expected at least"
+            )
+
+
+def stt_estimate_fast(
+    pan1_c: jax.Array,
+    pan2_c: jax.Array,
+    sections: int = 10,
+    line_per_section: int | None = None,
+    overlap_cols: int = 200,
+    edge_cols: int = 0,
+    threshold: float = IBCV_DEF_THRESHOLD,
+    max_delta_y: float = 0.0,
+    win: tuple[int, int] = (64, 64),
+):
+    """On-device stitching-parameter estimation (CalcSttParameters,
+    stitcher.h:148-201): phase-correlate ``sections`` sampled windows of
+    PAN1's right overlap strip against PAN2's left overlap strip, then
+    average the deltas over valid samples (response >= ``threshold``;
+    |dy| <= ``max_delta_y`` when positive).
+
+    Returns (delta_x, delta_y, response, n_valid) as traced scalars;
+    ``n_valid == 0`` is the reference's "No valid delta value found" error
+    — check on the host via :func:`check_stt_valid`.
+    """
+    lines, width = pan1_c.shape
+    lps = line_per_section or max(64, min(16000, lines // sections))
+    gap = (lines - sections * lps) // (sections + 1)
+    step = gap + lps
+    ow = overlap_cols - edge_cols
+
+    def one(i):
+        off = gap + i * step
+        t1 = jax.lax.dynamic_slice(
+            pan1_c, (off, width - overlap_cols), (lps, ow)
+        ).astype(jnp.float32)
+        t2 = jax.lax.dynamic_slice(
+            pan2_c, (off, edge_cols), (lps, ow)
+        ).astype(jnp.float32)
+        f1r, f1i = phasecorr.rfft2_padded(t1, (lps, ow), True)
+        f2r, f2i = phasecorr.rfft2_padded(t2, (lps, ow), True)
+        return phasecorr.peak_from_spectra_windowed(
+            f1r, f1i, f2r, f2i, (lps, ow), win[0], win[1]
+        )
+
+    dx, dy, rs = jax.lax.map(one, jnp.arange(sections))
+    ok = rs >= threshold
+    if max_delta_y > 0.0:
+        ok = ok & (jnp.abs(dy) <= max_delta_y)
+    w = ok.astype(jnp.float32)
+    n = w.sum()
+    denom = jnp.maximum(n, 1.0)
+    return (
+        (dx * w).sum() / denom,
+        (dy * w).sum() / denom,
+        (rs * w).sum() / denom,
+        n.astype(jnp.int32),
+    )
+
+
+def check_stt_valid(n_valid) -> None:
+    """Host-side check of :func:`stt_estimate_fast`'s valid count
+    (stitcher.h:187-190)."""
+    if int(n_valid) == 0:
+        raise RuntimeError(
+            "No valid delta value found for stitching parameter calculating"
+        )
 
 
 def make_device_pipeline(
@@ -119,22 +228,36 @@ def make_device_pipeline(
     fold: int = 200,
     chunk_rows: int = 256,
     row_bound: int = 3,
-    prestitch_shift: tuple[float, float] = (1.5, -0.75),
+    stt_sections: int = 10,
+    stt_lines: int | None = None,
+    overlap_cols: int = 200,
 ):
     """Build the jitted full device pipeline.
 
-    signature: (pan u16 (L, 12288), mss u16 (4, L/4, 3072),
-                pan_params (6, 12288) f32, mss_params (4, 6, 3072) f32)
-             -> (aligned u16 (L/4, 3072, 4), stitched u16 (L, 2*(12288-fold)))
+    signature: (pan1 u16 (L, 12288), pan2 u16 (L, 12288),
+                mss u16 (4, L/4, 3072), pan1_params (6, 12288) f32,
+                pan2_params (6, 12288) f32, mss_params (4, 6, 3072) f32)
+             -> (aligned u16 (L/4, 3072, 4),
+                 stitched u16 (L, 2*(12288-fold)),
+                 n_valid_register (4,) i32, n_valid_stt () i32)
+
+    Every input pixel is processed exactly once: PAN1 takes RRC +
+    registration + the stitch left half; PAN2 takes its own RRC, the
+    on-device stt-parameter estimation against PAN1's overlap strip, the
+    constant-shift prestitch resample, and the stitch right half; MSS takes
+    RRC + registration + the 4-band alignment resample.  Check the two
+    valid counts with :func:`check_registration_valid` /
+    :func:`check_stt_valid` after the step.
     """
 
     @jax.jit
-    def pipeline(pan, mss, pan_params, mss_params):
-        pan_c = rrc.rrc_apply(pan, pan_params)
+    def pipeline(pan1, pan2, mss, pan1_params, pan2_params, mss_params):
+        pan1_c = rrc.rrc_apply(pan1, pan1_params)
+        pan2_c = rrc.rrc_apply(pan2, pan2_params)
         mss_c = jnp.stack(
             [rrc.rrc_apply(mss[i], mss_params[i]) for i in range(MSS_BANDS)]
         )
-        coeffs = register_fast(pan_c, mss_c, slices, n_sections)
+        coeffs, n_valid = register_fast(pan1_c, mss_c, slices, n_sections)
         aligned = jnp.stack(
             [
                 resample.remap_band_fast_chunked(
@@ -145,17 +268,19 @@ def make_device_pipeline(
             ],
             axis=-1,
         )
-        dxs, dys = prestitch_shift
+        dxs, dys, _resp, n_stt = stt_estimate_fast(
+            pan1_c, pan2_c, stt_sections, stt_lines, overlap_cols,
+        )
         prestt = resample.remap_band_fast_chunked(
-            pan_c,
-            jnp.asarray([4.0 * dxs, 0.0], jnp.float32),
-            jnp.asarray([4.0 * dys, 0.0, 0.0], jnp.float32),
+            pan2_c,
+            jnp.stack([4.0 * dxs, jnp.float32(0.0)]),
+            jnp.stack([4.0 * dys, jnp.float32(0.0), jnp.float32(0.0)]),
             chunk_rows=chunk_rows,
             row_bound=row_bound,
         )
         stitched = jnp.concatenate(
-            [pan_c[:, : PIXELS_PER_LINE - fold], prestt[:, fold:]], axis=1
+            [pan1_c[:, : PIXELS_PER_LINE - fold], prestt[:, fold:]], axis=1
         )
-        return aligned, stitched
+        return aligned, stitched, n_valid, n_stt
 
     return pipeline

@@ -37,7 +37,6 @@ from ..constants import (
     IBCV_DEF_SECTIONS,
     IBCV_DEF_SLICES,
     IBCV_DEF_THRESHOLD,
-    IBCV_MIN_COUNT,
     IBCV_MIN_SLICES,
     IBPA_DEFAULT_LINEOVERLAP,
     IBPA_MAX_LINEOVERLAP,
@@ -265,17 +264,12 @@ class PreProcessor:
         for b in range(MSS_BANDS):
             shifts = self.band_shifts[b]
             rs = np.array([s.rs for s in shifts])
-            valid = rs >= threshold
-            if valid.sum() < IBCV_MIN_COUNT:
-                raise RuntimeError(
-                    f"Not enough valid correlation values for band#{b + 1}: "
-                    f"{int(valid.sum())} valid values found, "
-                    f"{IBCV_MIN_COUNT} expected at least"
-                )
             cx = np.array([s.cx for s in shifts], np.float64)
             dx = np.array([s.dx for s in shifts])
             dy = np.array([s.dy for s in shifts])
-            cxc, cyc = polyfit.fit_shift_models(cx, dx, dy, valid)
+            cxc, cyc = polyfit.fit_shift_models_filtered(
+                cx, dx, dy, rs, threshold, b + 1
+            )
             self.coeff_x[b] = cxc
             self.coeff_y[b] = cyc
             olog(

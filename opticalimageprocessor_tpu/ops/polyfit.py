@@ -41,3 +41,32 @@ def fit_shift_models(
     cx_coeffs = polyfit_ascending(cxv, np.asarray(dx, np.float64)[valid], 1)
     cy_coeffs = polyfit_ascending(cxv, np.asarray(dy, np.float64)[valid], 2)
     return cx_coeffs, cy_coeffs
+
+
+def fit_shift_models_filtered(
+    cx: np.ndarray,
+    dx: np.ndarray,
+    dy: np.ndarray,
+    rs: np.ndarray,
+    threshold: float,
+    band_no: int,
+):
+    """Response-filter + fit one band (FilterInterBandShiftValues +
+    DoCorrelationPolynomialFitting, preproc.h:492-550): samples with
+    ``rs < threshold`` are excluded, and fewer than ``IBCV_MIN_COUNT``
+    survivors is the reference's hard error (preproc.h:505-510).
+
+    Single source of truth for both the host ``PreProcessor`` and the
+    sharded multi-chip align step, so their coefficients agree exactly.
+    """
+    from ..constants import IBCV_MIN_COUNT
+
+    valid = np.asarray(rs, np.float64) >= threshold
+    n_valid = int(valid.sum())
+    if n_valid < IBCV_MIN_COUNT:
+        raise RuntimeError(
+            f"Not enough valid correlation values for band#{band_no}: "
+            f"{n_valid} valid values found, {IBCV_MIN_COUNT} expected at "
+            "least"
+        )
+    return fit_shift_models(cx, dx, dy, valid)

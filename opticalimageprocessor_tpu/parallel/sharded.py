@@ -1,36 +1,52 @@
-"""Sharded (multi-chip) pipeline step: sequence parallelism over strip lines.
+"""Sharded (multi-chip) alignment: sequence parallelism over strip lines.
 
-This is the framework's SPMD execution path: the push-broom line axis is
-sharded over a 1-D device mesh, and one jitted step performs
+This is the framework's SPMD execution path.  The push-broom line axis is
+sharded over a 1-D device mesh and the reference's serial pipeline
+(preproc.h:224-468) maps onto it in three stages:
 
-  RRC (local, elementwise)
-    -> per-device slice correlation (local batched FFT)
-    -> cross-device reduction of shift statistics (psum / all_gather)
-    -> on-device polynomial fit (replicated small lstsq)
-    -> alignment resample with ppermute halo exchange
-
-mapping the reference's serial sectioning (SURVEY §2 parallelism table) onto
-ICI collectives: its sampled sections become per-device samples, its
-20000-line alignment batches become device shards, and its 520-line trimmed
-overlaps become the halo exchange.
+1. ``RRC + correlate`` — one jitted program over the mesh: elementwise RRC
+   on the line-sharded strips, extraction of the reference's sections x
+   slices sampling grid (CalcInterBandCorrelation geometry,
+   preproc.h:245-259: ``min(lines, 16000)``-line windows evenly gapped
+   along the strip), then the batched windowed phase correlations sharded
+   over the *tile* axis (shard_map; each device runs the identical
+   single-tile math the host path runs).
+2. ``fit`` — the tiny (dx, dy, response) statistics return to the host and
+   go through the same float64 filter + polynomial fit as the host
+   ``PreProcessor`` (ops/polyfit.fit_shift_models_filtered: response
+   threshold 0.4 per oipshared.h:35, >=5-valid-samples hard error per
+   preproc.h:505-510) — so multi-chip coefficients match single-host
+   coefficients exactly.
+3. ``remap`` — a second jitted shard_map: the alignment resample with
+   ppermute halo exchange over ICI (the cross-device analogue of the
+   reference's in-process 20000-line sections, preproc.h:374-408).
 
 Sharded-mode semantics note: the resample sees true neighbour rows at shard
 boundaries (plus border-0 at the strip ends), i.e. the *unsectioned* result.
 The reference's per-section border artifacts (the ~2 cubic-support rows at
 each 20000-line section seam that read BORDER_CONSTANT zeros,
 preproc.h:428-457) are not reproduced here; the host-side
-models/preprocessor.py path keeps full sectioned parity.  Everywhere else
-the maths is identical.
+models/preprocessor.py parity path keeps full sectioned parity.  Everywhere
+else the maths is identical (fast-mode remap: within 1 DN of parity).
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..constants import MSS_BANDS
-from ..ops.resample import upsample4_f32
+from ..constants import (
+    CORRELATION_LINES,
+    IBCV_DEF_SECTIONS,
+    IBCV_DEF_SLICES,
+    IBCV_DEF_THRESHOLD,
+    IBCV_MIN_SLICES,
+    MSS_BANDS,
+)
 from ..ops.rrc import _rrc_math
 from .halo import exchange_halo
 from .mesh import LINE_AXIS
@@ -106,134 +122,257 @@ def remap_band_dynamic_chunked(
     )
 
 
-def _correlate_local(pan_local_f32, band_local_f32, slices: int):
-    """Per-device slice correlation: the device's whole local row block is
-    one 'section' sample, split into ``slices`` column slices (the
-    reference's 5x10 sampling grid, preproc.h:245-259, with sections =
-    devices)."""
-    from ..ops.phasecorr import _phase_correlate_padded
-    from ..ops.cv_exact import get_optimal_dft_size
+# ---------------------------------------------------------------------------
+# reference sampling geometry (CalcInterBandCorrelation, preproc.h:224-347)
+# ---------------------------------------------------------------------------
 
-    h, w = pan_local_f32.shape
-    cols = w // slices
-    bh, bw = band_local_f32.shape
-    bcols = cols // MSS_BANDS
+def section_geometry(lines_pan: int, width: int, slices: int, sections: int):
+    """The reference's sections x slices tile grid, verbatim
+    (preproc.h:245-259): ``min(lines, 16000)``-line windows spaced by equal
+    gaps along the strip, each cut into ``slices`` column slices; the MSS
+    window offsets use the same integer-divided-by-4 bookkeeping.
 
-    pan_tiles = jnp.stack(
-        [pan_local_f32[:, i * cols : (i + 1) * cols] for i in range(slices)]
-    )
-    band_tiles = jnp.stack(
-        [band_local_f32[:, i * bcols : (i + 1) * bcols] for i in range(slices)]
-    )
-    up = upsample4_f32(band_tiles)
-    pad = (get_optimal_dft_size(h), get_optimal_dft_size(cols))
-    dx, dy, rs = jax.vmap(
-        lambda a, b: _phase_correlate_padded(a, b, pad)
-    )(pan_tiles, up)
-    cx = (jnp.arange(slices) * cols + cols // 2).astype(jnp.float32)
-    return dx, dy, rs, cx
-
-
-def _fit_poly(cx, y, deg: int, w=None):
-    """Replicated small weighted least-squares (float32 on device)."""
-    # normalise x for conditioning
-    scale = jnp.float32(1.0 / 4096.0)
-    xn = cx * scale
-    v = jnp.stack([xn**k for k in range(deg + 1)], axis=-1)
-    if w is not None:
-        v = v * w[:, None]
-        y = y * w
-    coeffs, *_ = jnp.linalg.lstsq(v, y)
-    return coeffs * jnp.asarray(
-        [scale**k for k in range(deg + 1)], coeffs.dtype
-    )
-
-
-def make_align_step(mesh, slices: int = 8, threshold: float = 0.2):
-    """Build the jitted multi-chip align step over ``mesh`` (axis 'line').
-
-    Step signature: (pan u16 sharded (L_pan, W_pan), mss u16 sharded
-    (4, L_mss, W_band), rrc_pan params (6, W_pan), rrc_mss params
-    (4, 6, W_band)) -> (aligned u16 (L_mss, W_band, 4) sharded,
-    coeff_x (4, 2), coeff_y (4, 3)).
+    Returns (r0s, br0s, base_rows, band_rows, cols, band_cols, centers)
+    where ``centers[t]`` is the slice-centre x of tile ``t`` (section-major,
+    slice-minor ordering, matching the host PreProcessor's sample order).
     """
+    if slices < IBCV_MIN_SLICES:
+        raise ValueError(
+            f"CalcInterBandCorrelation: at lease {IBCV_MIN_SLICES} slice "
+            "needed"
+        )
+    if sections <= 0:
+        raise ValueError(
+            "CalcInterBandCorrelation: section count should be a positive "
+            "integer"
+        )
+    if sections > 1 and sections * CORRELATION_LINES > lines_pan:
+        raise ValueError(
+            "CalcInterBandCorrelation: too many sections "
+            f"({CORRELATION_LINES} lines per section), not enough total PAN "
+            "data lines"
+        )
+    base_rows = min(lines_pan, CORRELATION_LINES)
+    base_gap = (lines_pan - base_rows * sections) // (sections + 1)
+    cols = width // slices
+    band_rows = base_rows // MSS_BANDS
+    band_gap = base_gap // MSS_BANDS
+    band_cols = cols // MSS_BANDS
+    r0s = [base_gap + sec * (base_rows + base_gap) for sec in range(sections)]
+    br0s = [band_gap + sec * (band_rows + band_gap) for sec in range(sections)]
+    centers = [
+        i * cols + cols // 2 for _ in range(sections) for i in range(slices)
+    ]
+    return r0s, br0s, base_rows, band_rows, cols, band_cols, centers
 
-    def step(pan, mss, pan_params, mss_params):
-        def local(pan_l, mss_l, pan_par, mss_par):
-            # --- RRC (elementwise, local)
-            pan_c = _rrc_math(
-                pan_l.astype(jnp.int32), *[pan_par[i][None, :] for i in range(6)]
-            ).astype(jnp.uint16)
-            mss_c = jnp.stack(
-                [
-                    _rrc_math(
-                        mss_l[b].astype(jnp.int32),
-                        *[mss_par[b, i][None, :] for i in range(6)],
-                    ).astype(jnp.uint16)
+
+def auto_sections(lines_pan: int) -> int:
+    """Largest reference-legal section count <= the default 5."""
+    return max(1, min(IBCV_DEF_SECTIONS, lines_pan // CORRELATION_LINES))
+
+
+def _rrc_jnp(strip: jax.Array, params: jax.Array) -> jax.Array:
+    """Elementwise RRC (the jnp path of ops.rrc.rrc_apply, identical f32
+    math to the Pallas kernel) — sharding-preserving under jit."""
+    return _rrc_math(
+        strip.astype(jnp.int32), *[params[i][None, :] for i in range(6)]
+    ).astype(jnp.uint16)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_correlate_fn(
+    mesh: Mesh,
+    lines_pan: int,
+    width: int,
+    lines_mss: int,
+    slices: int,
+    sections: int,
+    use_mxu: bool,
+):
+    """Jitted over ``mesh``: RRC -> tile grid extraction -> tile-sharded
+    batched phase correlation.  Returns (mss_c sharded, dx, dy, rs) with
+    dx/dy/rs shaped (T, 4), T = sections*slices, tile-major then band —
+    the host _correlate_tiles ordering."""
+    from ..ops.cv_exact import get_optimal_dft_size
+    from ..ops.phasecorr import _phase_correlate_padded
+    from ..ops.resample import upsample4_f32
+
+    n_dev = mesh.shape[LINE_AXIS]
+    r0s, br0s, base_rows, band_rows, cols, band_cols, _ = section_geometry(
+        lines_pan, width, slices, sections
+    )
+    t_total = sections * slices
+    t_pad = -(-t_total // n_dev) * n_dev
+    pad_to = (get_optimal_dft_size(base_rows), get_optimal_dft_size(cols))
+
+    def correlate(pan, mss, pan_params, mss_params):
+        pan_c = _rrc_jnp(pan, pan_params)
+        mss_c = jnp.stack(
+            [_rrc_jnp(mss[b], mss_params[b]) for b in range(MSS_BANDS)]
+        )
+
+        pan_tiles = jnp.stack(
+            [
+                jax.lax.slice(
+                    pan_c, (r0, i * cols), (r0 + base_rows, (i + 1) * cols)
+                )
+                for r0 in r0s
+                for i in range(slices)
+            ]
+        )
+        band_tiles = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        jax.lax.slice(
+                            mss_c,
+                            (b, br0, i * band_cols),
+                            (b + 1, br0 + band_rows, (i + 1) * band_cols),
+                        )[0]
+                        for b in range(MSS_BANDS)
+                    ]
+                )
+                for br0 in br0s
+                for i in range(slices)
+            ]
+        )
+        if t_pad != t_total:  # round the tile axis up to the device count
+            def pad_tiles(t):
+                reps = [t] * (t_pad // t_total) + [t[: t_pad % t_total]]
+                return jnp.concatenate([r for r in reps if r.shape[0]])
+
+            pan_tiles = pad_tiles(pan_tiles)
+            band_tiles = pad_tiles(band_tiles)
+        pan_tiles = jax.lax.with_sharding_constraint(
+            pan_tiles, NamedSharding(mesh, P(LINE_AXIS, None, None))
+        )
+        band_tiles = jax.lax.with_sharding_constraint(
+            band_tiles, NamedSharding(mesh, P(LINE_AXIS, None, None, None))
+        )
+
+        def corr_local(pt, bt):
+            # per-device tile batch; per-tile math identical to the host
+            # path (upsample4 + optimal-DFT-padded phase correlation)
+            def one(args):
+                p, bs = args
+                pf = p.astype(jnp.float32)
+                outs = [
+                    _phase_correlate_padded(
+                        pf,
+                        upsample4_f32(bs[b].astype(jnp.float32)),
+                        pad_to,
+                        use_mxu,
+                    )
                     for b in range(MSS_BANDS)
                 ]
-            )
+                return tuple(
+                    jnp.stack([o[k] for o in outs]) for k in range(3)
+                )
 
-            # --- correlation: this device's rows are one section sample
-            panf = pan_c.astype(jnp.float32)
-            stats = [
-                _correlate_local(panf, mss_c[b].astype(jnp.float32), slices)
-                for b in range(MSS_BANDS)
-            ]
-            # gather all sections' samples: (n_dev, bands, slices)
-            dx = jax.lax.all_gather(
-                jnp.stack([s[0] for s in stats]), LINE_AXIS
-            )
-            dy = jax.lax.all_gather(
-                jnp.stack([s[1] for s in stats]), LINE_AXIS
-            )
-            rs = jax.lax.all_gather(
-                jnp.stack([s[2] for s in stats]), LINE_AXIS
-            )
-            cx = stats[0][3]  # same per device
+            return jax.lax.map(one, (pt, bt))
 
-            n_dev = dx.shape[0]
-            coeff_x = []
-            coeff_y = []
-            for b in range(MSS_BANDS):
-                bdx = dx[:, b, :].reshape(-1)
-                bdy = dy[:, b, :].reshape(-1)
-                brs = rs[:, b, :].reshape(-1)
-                bcx = jnp.tile(cx, n_dev)
-                wgt = (brs >= threshold).astype(jnp.float32)
-                cxc = _fit_poly(bcx, bdx, 1, wgt)
-                cyc = _fit_poly(bcx, bdy, 2, wgt)
-                coeff_x.append(cxc)
-                coeff_y.append(cyc)
-            coeff_x = jnp.stack(coeff_x)
-            coeff_y = jnp.stack(coeff_y)
+        dx, dy, rs = jax.shard_map(
+            corr_local,
+            mesh=mesh,
+            in_specs=(P(LINE_AXIS, None, None), P(LINE_AXIS, None, None, None)),
+            out_specs=(P(LINE_AXIS, None),) * 3,
+            check_vma=False,
+        )(pan_tiles, band_tiles)
+        return mss_c, dx[:t_total], dy[:t_total], rs[:t_total]
 
-            # --- alignment remap with halo exchange
-            idx = jax.lax.axis_index(LINE_AXIS)
-            rows_local = mss_l.shape[1]
-            y0 = idx.astype(jnp.int32) * rows_local
-            aligned = jnp.stack(
+    in_shardings = (
+        NamedSharding(mesh, P(LINE_AXIS, None)),
+        NamedSharding(mesh, P(None, LINE_AXIS, None)),
+        NamedSharding(mesh, P()),
+        NamedSharding(mesh, P()),
+    )
+    out_shardings = (
+        NamedSharding(mesh, P(None, LINE_AXIS, None)),
+        NamedSharding(mesh, P()),
+        NamedSharding(mesh, P()),
+        NamedSharding(mesh, P()),
+    )
+    return jax.jit(
+        correlate, in_shardings=in_shardings, out_shardings=out_shardings
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _make_remap_fn(mesh: Mesh):
+    """Jitted shard_map: 4-band alignment resample with ppermute halos."""
+
+    def remap(mss_c, coeff_x, coeff_y):
+        def local(mss_l, cx, cy):
+            return jnp.stack(
                 [
-                    remap_band_dynamic(
-                        mss_c[b], coeff_x[b], coeff_y[b], y0, LINE_AXIS
-                    )
+                    remap_band_dynamic(mss_l[b], cx[b], cy[b], 0, LINE_AXIS)
                     for b in range(MSS_BANDS)
                 ],
                 axis=-1,
             )
-            return aligned, coeff_x, coeff_y
 
         return jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(
-                P(LINE_AXIS, None),
-                P(None, LINE_AXIS, None),
-                P(),
-                P(),
-            ),
-            out_specs=(P(LINE_AXIS, None, None), P(), P()),
+            in_specs=(P(None, LINE_AXIS, None), P(), P()),
+            out_specs=P(LINE_AXIS, None, None),
             check_vma=False,
-        )(pan, mss, pan_params, mss_params)
+        )(mss_c, coeff_x, coeff_y)
 
-    return jax.jit(step)
+    return jax.jit(remap)
+
+
+def make_align_step(
+    mesh: Mesh,
+    slices: int = IBCV_DEF_SLICES,
+    sections: int | None = None,
+    threshold: float = IBCV_DEF_THRESHOLD,
+):
+    """Build the multi-chip align step over ``mesh`` (axis 'line').
+
+    Step signature: (pan u16 (L_pan, W_pan), mss u16 (4, L_mss, W_band),
+    rrc_pan params (6, W_pan), rrc_mss params (4, 6, W_band)) ->
+    (aligned u16 (L_mss, W_band, 4) line-sharded, coeff_x (4, 2) f64,
+    coeff_y (4, 3) f64).
+
+    The step composes two jitted SPMD programs around the host float64 fit
+    (the reference's own data flow: only the tiny shift table crosses to
+    the host, preproc.h:492-550).  Raises the reference's "Not enough valid
+    correlation values" error when a band has <5 samples at response >=
+    ``threshold`` (0.4, oipshared.h:35).
+    """
+    from ..ops import polyfit
+
+    use_mxu = all(d.platform == "tpu" for d in mesh.devices.flat)
+
+    def step(pan, mss, pan_params, mss_params):
+        lines_pan, width = pan.shape
+        lines_mss = mss.shape[1]
+        nsec = sections if sections is not None else auto_sections(lines_pan)
+        *_, centers = section_geometry(lines_pan, width, slices, nsec)
+
+        correlate = _make_correlate_fn(
+            mesh, lines_pan, width, lines_mss, slices, nsec, use_mxu
+        )
+        mss_c, dx, dy, rs = correlate(pan, mss, pan_params, mss_params)
+
+        dx = np.asarray(dx, np.float64)      # (T, 4)
+        dy = np.asarray(dy, np.float64)
+        rs = np.asarray(rs, np.float64)
+        cx = np.asarray(centers, np.float64)
+        coeff_x = np.zeros((MSS_BANDS, 2))
+        coeff_y = np.zeros((MSS_BANDS, 3))
+        for b in range(MSS_BANDS):
+            coeff_x[b], coeff_y[b] = polyfit.fit_shift_models_filtered(
+                cx, dx[:, b], dy[:, b], rs[:, b], threshold, b + 1
+            )
+
+        remap = _make_remap_fn(mesh)
+        aligned = remap(
+            mss_c,
+            jnp.asarray(coeff_x, jnp.float32),
+            jnp.asarray(coeff_y, jnp.float32),
+        )
+        return aligned, coeff_x, coeff_y
+
+    return step

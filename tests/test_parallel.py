@@ -111,6 +111,106 @@ def test_remap_dynamic_matches_static_plan(rng):
     assert (diff > 0).mean() < 0.05
 
 
+def test_align_step_matches_host_preprocessor(rng, tmp_path):
+    """The 8-device align step reproduces the host PreProcessor on the same
+    scene: identical float64-fitted coefficients (same samples, same
+    filter+fit code path) and an aligned raster within 1 DN of the host
+    fast-mode remap."""
+    from opticalimageprocessor_tpu.formats import rrc_csv
+    from opticalimageprocessor_tpu.models.preprocessor import PreProcessor
+    from opticalimageprocessor_tpu.ops import resample, rrc
+
+    width, band_px = 512, 128
+    lines_mss = 1504          # >= IBPA_MIN_PROCESSLINES, divisible by 8
+    lines_pan = lines_mss * 4
+    scene = rng.integers(2000, 42000, (lines_mss, band_px)).astype(np.uint16)
+    pan_true = np.clip(
+        np.rint(np.asarray(resample.upsample4_f32(scene.astype(np.float32)))),
+        0, 65535,
+    ).astype(np.uint16)
+    vy = [0, -1, 1, 0]
+    vx = [1, 0, -1, 2]
+    bands = np.stack(
+        [np.roll(np.roll(scene, vy[b], 0), vx[b], 1) for b in range(4)]
+    )
+
+    # inverse-RRC both sensors so the RRC stage does real work
+    kp, bp = 1.02, -100.0
+    pan_dl = np.clip(
+        np.rint((pan_true.astype(np.float64) - bp) / kp), 0, 65535
+    ).astype(np.uint16)
+    kb, bb = 0.98, 50.0
+    bands_dl = np.clip(
+        np.rint((bands.astype(np.float64) - bb) / kb), 0, 65535
+    ).astype(np.uint16)
+
+    pan_path = tmp_path / "CMOS1.PAN.RAW"
+    mss_path = tmp_path / "CMOS1.MSS.RAW"
+    pan_dl.astype("<u2").tofile(pan_path)
+    np.ascontiguousarray(bands_dl.transpose(1, 0, 2)).astype("<u2").tofile(
+        mss_path
+    )
+    rrc_pan = tmp_path / "pan.rrc"
+    rrc_csv.save_rrc_params(str(rrc_pan), np.tile([[kp, bp]], (width, 1)))
+    rrc_band = tmp_path / "band.rrc"
+    rrc_csv.save_rrc_params(str(rrc_band), np.tile([[kb, bb]], (band_px, 1)))
+
+    # --- host reference path (fast-mode remap, full rows kept)
+    pp = PreProcessor(
+        str(pan_path), str(mss_path), str(rrc_pan), (str(rrc_band),) * 4,
+        pixels_per_line=width, fast=True,
+    )
+    pp.load_and_rrc(do_rrc_pan=True, do_rrc_mss=True)
+    pp.calc_inter_band_correlation(slices=8, sections=1)
+    host_aligned = pp.do_inter_band_alignment(
+        line_per_section=1504, keep_leading_lines=True, write_tiff=False,
+    )
+
+    # --- 8-device sharded path on the same inputs
+    m = mesh_lib.line_mesh(8)
+    step = sharded.make_align_step(m, slices=8, sections=1)
+    pan_params = jnp.asarray(
+        rrc.split_rrc_params(np.full(width, kp), np.full(width, bp))
+    )
+    mss_params = jnp.asarray(
+        np.stack(
+            [rrc.split_rrc_params(np.full(band_px, kb), np.full(band_px, bb))]
+            * 4
+        )
+    )
+    aligned, cx, cy = step(pan_dl, bands_dl, pan_params, mss_params)
+
+    np.testing.assert_allclose(cx, pp.coeff_x, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(cy, pp.coeff_y, rtol=1e-6, atol=1e-7)
+    diff = np.abs(
+        np.asarray(aligned).astype(int) - host_aligned.astype(int)
+    )
+    assert diff.max() <= 1, diff.max()
+
+
+def test_align_step_min_count_error(rng):
+    """Flat tiles produce no valid (response >= 0.4) samples; the sharded
+    step must fail with the reference's min-count error, not fit garbage."""
+    from opticalimageprocessor_tpu.ops import rrc
+
+    width, band_px = 512, 128
+    lines_mss, lines_pan = 64, 256
+    pan = np.full((lines_pan, width), 9000, np.uint16)
+    mss = np.full((4, lines_mss, band_px), 9000, np.uint16)
+    pan_params = jnp.asarray(
+        rrc.split_rrc_params(np.ones(width), np.zeros(width))
+    )
+    mss_params = jnp.asarray(
+        np.stack(
+            [rrc.split_rrc_params(np.ones(band_px), np.zeros(band_px))] * 4
+        )
+    )
+    m = mesh_lib.line_mesh(8)
+    step = sharded.make_align_step(m, slices=8, sections=1)
+    with pytest.raises(RuntimeError, match="Not enough valid correlation"):
+        step(pan, mss, pan_params, mss_params)
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
