@@ -69,6 +69,13 @@ def _build_default_parser() -> argparse.ArgumentParser:
             "streaming; within 1 DN of the parity path)"
         ),
     )
+    p.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help=(
+            "run the align pipeline SPMD over an N-device line mesh "
+            "(0 = single device; fast-mode remap semantics)"
+        ),
+    )
     return p
 
 
@@ -76,14 +83,48 @@ class UsageError(ValueError):
     pass
 
 
+def _require_file(path: str, opt: str) -> None:
+    """Parse-time ExistingFile check (CLI11 ->check(CLI::ExistingFile),
+    main.cpp:105/114-119/193-223): fail with a usage error (rc 254) before
+    any work starts."""
+    import os
+
+    if path and not os.path.isfile(path):
+        raise UsageError(f"{opt}: File does not exist: {path}")
+
+
 def _default_action(a) -> int:
     if not (0.0 <= a.ibc_threshold < 1.0):
         raise UsageError("invalid threshold value")
+    # CLI11 ->needs(rrc4pan) parity (main.cpp:198-203): the orphan flags
+    # are usage errors at parse time, not silently ignored
+    if a.rrc_pan and not a.do_rrc4pan:
+        raise UsageError("--rrc-pan needs --do-rrc4pan")
+    if a.write_rrcpan and not a.do_rrc4pan:
+        raise UsageError("--write-rrcpan needs --do-rrc4pan")
     if a.do_rrc4pan and not a.rrc_pan:
         raise UsageError("RRC parameter file of PAN needed")
     rrc_mss = (a.rrc_msb1, a.rrc_msb2, a.rrc_msb3, a.rrc_msb4)
     if a.do_rrc4mss and any(not f for f in rrc_mss):
         raise UsageError("RRC parameter file of all MSS Bands needed")
+    _require_file(a.pan, "--pan")
+    _require_file(a.mss, "--mss")
+    _require_file(a.rrc_pan, "--rrc-pan")
+    for i, f in enumerate(rrc_mss, 1):
+        _require_file(f, f"--rrc-msb{i}")
+
+    if a.mesh:
+        from .models.sharded_align import run_sharded_align
+
+        run_sharded_align(
+            a.pan, a.mss, a.rrc_pan, rrc_mss, n_devices=a.mesh,
+            do_rrc_pan=a.do_rrc4pan, do_rrc_mss=a.do_rrc4mss,
+            slices=a.slices, sections=a.ibc_sections,
+            threshold=a.ibc_threshold, line_offset=a.line_offset,
+            section_overlap=a.overlap_lines,
+            keep_leading_lines=a.keep_leading, out_dir=a.out_dir,
+        )
+        return 0
 
     from .models.preprocessor import PreProcessor
 
@@ -110,6 +151,7 @@ def _auxsep(argv) -> int:
     p.add_argument("file", help="AOS or IMDT file path")
     p.add_argument("--out-dir", default=None)
     a = p.parse_args(argv)
+    _require_file(a.file, "file")
 
     from .models.auxsep import AuxSeparator
 
@@ -146,6 +188,10 @@ def _prestitch(argv) -> int:
     a = p.parse_args(argv)
     if a.edge_cols < 0 or a.edge_cols > a.stitch_overlap // 2:
         raise UsageError("invalid edge cols")
+    _require_file(a.pan1, "--pan1")
+    _require_file(a.pan2, "--pan2")
+    _require_file(a.rrc1, "--rrc1")
+    _require_file(a.rrc2, "--rrc2")
 
     from .models.stitcher import Stitcher
 
@@ -206,6 +252,14 @@ def _enable_compile_cache() -> None:
 
     try:
         import jax
+
+        # explicit platform override (some hosted device plugins ignore
+        # the JAX_PLATFORMS env var; the config knob always wins) — lets
+        # `--mesh N` run on a virtual CPU mesh:
+        #   OIP_JAX_PLATFORM=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N
+        plat = os.environ.get("OIP_JAX_PLATFORM")
+        if plat:
+            jax.config.update("jax_platforms", plat)
 
         cache = os.environ.get(
             "OIP_JAX_CACHE",

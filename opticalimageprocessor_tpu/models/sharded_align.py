@@ -1,0 +1,181 @@
+"""Multi-chip inter-band registration + alignment (the CLI's ``--mesh N``
+route for the default command).
+
+Same user contract as :class:`models.preprocessor.PreProcessor` in fast
+mode — identical float64-fitted coefficients (shared filter+fit code) and
+an aligned raster within 1 DN — but executed SPMD over an ``n_devices``
+line mesh (parallel/sharded.make_align_step):
+
+* inputs are fed shard-by-shard straight from the memory-mapped RAW strips
+  (``jax.make_array_from_callback``), so host RSS stays bounded by one
+  shard instead of the whole scene (the behaviour replacing the
+  reference's whole-strip LoadRawImage, imageop.h:110-127);
+* the ALIGNED.TIFF is drained shard-by-shard in line order, never
+  materialising the full output on the host.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..constants import (
+    BYTES_PER_PIXEL,
+    IBPA_MIN_PROCESSLINES,
+    IBPA_STEM_EXT,
+    MSS_BANDS,
+    PIXELS_PER_LINE,
+    TIFF_FILE_EXT,
+)
+from ..formats.naming import build_output_file_path
+from ..formats.rrc_csv import load_rrc_params
+from ..io import raw as raw_io
+from ..io import tiff as tiff_io
+from ..ops import rrc
+from ..parallel.mesh import LINE_AXIS, line_mesh
+from ..parallel.sharded import make_align_step
+from ..utils.logging import olog, stage
+
+
+def _identity_params(n: int) -> np.ndarray:
+    return rrc.split_rrc_params(np.ones(n), np.zeros(n))
+
+
+def run_sharded_align(
+    pan_file: str,
+    mss_file: str,
+    rrc_pan_file: str = "",
+    rrc_mss_files: tuple[str, str, str, str] | None = None,
+    n_devices: int | None = None,
+    do_rrc_pan: bool = False,
+    do_rrc_mss: bool = True,
+    slices: int = 10,
+    sections: int | None = None,
+    threshold: float = 0.4,
+    line_offset: int = 0,
+    section_overlap: int = 520,
+    keep_leading_lines: bool = False,
+    out_dir: str | None = None,
+    bgr_tiff_order: bool = True,
+    pixels_per_line: int = PIXELS_PER_LINE,
+    write_tiff: bool = True,
+):
+    """Run the sharded align pipeline; returns the ALIGNED.TIFF path (or
+    the aligned array when ``write_tiff=False``).
+
+    RRC flags follow the CLI: identity parameters are substituted when a
+    correction is disabled (bit-exact no-op through the RRC math).
+    """
+    band_px = pixels_per_line // MSS_BANDS
+    pan = raw_io.RawStrip(pan_file, pixels_per_line)
+    mss = raw_io.RawStrip(mss_file, pixels_per_line)
+    # geometry invariants (CheckFilesAttributes, preproc.h:552-572)
+    if pan.nbytes != MSS_BANDS * mss.nbytes:
+        raise ValueError(
+            "PAN file size does not match MSS file size: PAN file should "
+            f"be {MSS_BANDS}x as large as MSS file"
+        )
+    if pan.nbytes % (pixels_per_line * BYTES_PER_PIXEL) != 0:
+        raise ValueError(
+            "PAN file size invalid: should be multiplies of "
+            f"{pixels_per_line * BYTES_PER_PIXEL}"
+        )
+    if mss.lines - line_offset < IBPA_MIN_PROCESSLINES:
+        raise ValueError("Too few image lines left to process")
+    olog("PAN: %d lines, MSS: %d lines.", pan.lines, mss.lines)
+
+    if do_rrc_pan:
+        if not rrc_pan_file:
+            raise ValueError("RRC parameter file of PAN needed")
+        kb = load_rrc_params(rrc_pan_file, pixels_per_line)
+        pan_params = rrc.split_rrc_params(kb[:, 0], kb[:, 1])
+    else:
+        pan_params = _identity_params(pixels_per_line)
+    if do_rrc_mss:
+        if not rrc_mss_files or any(not f for f in rrc_mss_files):
+            raise ValueError("RRC parameter file of all MSS Bands needed")
+        mss_params = np.stack(
+            [
+                rrc.split_rrc_params(
+                    *load_rrc_params(rrc_mss_files[b], band_px).T
+                )
+                for b in range(MSS_BANDS)
+            ]
+        )
+    else:
+        mss_params = np.stack([_identity_params(band_px)] * MSS_BANDS)
+
+    if n_devices and len(jax.devices()) < n_devices:
+        raise RuntimeError(
+            f"--mesh {n_devices} needs {n_devices} devices, only "
+            f"{len(jax.devices())} available"
+        )
+    mesh = line_mesh(n_devices)
+    n_dev = mesh.shape[LINE_AXIS]
+    olog("Sharded align over %d-device '%s' mesh.", n_dev, LINE_AXIS)
+
+    # shard-by-shard ingest straight from the memory maps: the callback is
+    # invoked once per device with that device's index window, so host RSS
+    # is bounded by one shard
+    with stage("shard_ingest", pan.nbytes + mss.nbytes):
+        pan_arr = jax.make_array_from_callback(
+            (pan.lines, pixels_per_line),
+            NamedSharding(mesh, P(LINE_AXIS, None)),
+            lambda idx: np.ascontiguousarray(pan._mm[idx]),
+        )
+        mss_view = mss._mm.reshape(mss.lines, MSS_BANDS, band_px).transpose(
+            1, 0, 2
+        )
+        mss_arr = jax.make_array_from_callback(
+            (MSS_BANDS, mss.lines, band_px),
+            NamedSharding(mesh, P(None, LINE_AXIS, None)),
+            lambda idx: np.ascontiguousarray(mss_view[idx]),
+        )
+
+    step = make_align_step(mesh, slices, sections, threshold)
+    with stage("sharded_align", pan.nbytes + mss.nbytes):
+        aligned, coeff_x, coeff_y = step(
+            pan_arr, mss_arr, pan_params, mss_params, line_offset
+        )
+        aligned.block_until_ready()
+    for b in range(MSS_BANDS):
+        olog(
+            "\tdeltaX coeff: [1] %.15f, [0] %.9f",
+            coeff_x[b, 1], coeff_x[b, 0],
+        )
+        olog(
+            "\tdeltaY coeff: [2] %.15f, [1] %.15f, [0] %.9f",
+            coeff_y[b, 2], coeff_y[b, 1], coeff_y[b, 0],
+        )
+
+    total_rows = aligned.shape[0]
+    start = 0 if keep_leading_lines else section_overlap
+    out_rows = total_rows - start
+    if not write_tiff:
+        return np.asarray(aligned)[start:]
+
+    path = build_output_file_path(
+        mss_file, IBPA_STEM_EXT, TIFF_FILE_EXT, out_dir=out_dir
+    )
+    order = [2, 1, 0, 3] if bgr_tiff_order else [0, 1, 2, 3]
+    writer = tiff_io.TiffStripWriter(
+        path, band_px, out_rows, samples=MSS_BANDS
+    )
+    with stage("write_aligned", out_rows * band_px * MSS_BANDS * 2):
+        # drain shard-by-shard in line order: each addressable shard covers
+        # a contiguous row block under the 'line' sharding
+        shards = sorted(
+            aligned.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        for sh in shards:
+            a = sh.index[0].start or 0
+            b = sh.index[0].stop or total_rows
+            lo = max(a, start)
+            if lo >= b:
+                continue
+            block = np.asarray(sh.data)[lo - a : b - a]
+            writer.write_rows(block[:, :, order])
+    writer.close()
+    olog("Aligned MSS written to %s", path)
+    return path

@@ -299,9 +299,20 @@ def _make_correlate_fn(
 
 @functools.lru_cache(maxsize=8)
 def _make_remap_fn(mesh: Mesh):
-    """Jitted shard_map: 4-band alignment resample with ppermute halos."""
+    """Jitted shard_map: 4-band alignment resample with ppermute halos.
+
+    Line counts that don't divide the mesh are zero-padded at the strip
+    bottom for the shard_map and trimmed after — the last real row's halo
+    then reads zeros, which is exactly the border-0 the resample applies at
+    strip ends anyway."""
+    n_dev = mesh.shape[LINE_AXIS]
 
     def remap(mss_c, coeff_x, coeff_y):
+        rows = mss_c.shape[1]
+        pad = (-rows) % n_dev
+        if pad:
+            mss_c = jnp.pad(mss_c, ((0, 0), (0, pad), (0, 0)))
+
         def local(mss_l, cx, cy):
             return jnp.stack(
                 [
@@ -311,13 +322,14 @@ def _make_remap_fn(mesh: Mesh):
                 axis=-1,
             )
 
-        return jax.shard_map(
+        out = jax.shard_map(
             local,
             mesh=mesh,
             in_specs=(P(None, LINE_AXIS, None), P(), P()),
             out_specs=P(LINE_AXIS, None, None),
             check_vma=False,
         )(mss_c, coeff_x, coeff_y)
+        return out[:rows] if pad else out
 
     return jax.jit(remap)
 
@@ -340,12 +352,15 @@ def make_align_step(
     the host, preproc.h:492-550).  Raises the reference's "Not enough valid
     correlation values" error when a band has <5 samples at response >=
     ``threshold`` (0.4, oipshared.h:35).
+
+    ``line_offset``: first MSS line to align (the CLI's --line-offset;
+    correlation always samples the full strip, like the host path).
     """
     from ..ops import polyfit
 
     use_mxu = all(d.platform == "tpu" for d in mesh.devices.flat)
 
-    def step(pan, mss, pan_params, mss_params):
+    def step(pan, mss, pan_params, mss_params, line_offset: int = 0):
         lines_pan, width = pan.shape
         lines_mss = mss.shape[1]
         nsec = sections if sections is not None else auto_sections(lines_pan)
@@ -369,7 +384,7 @@ def make_align_step(
 
         remap = _make_remap_fn(mesh)
         aligned = remap(
-            mss_c,
+            mss_c[:, line_offset:] if line_offset else mss_c,
             jnp.asarray(coeff_x, jnp.float32),
             jnp.asarray(coeff_y, jnp.float32),
         )

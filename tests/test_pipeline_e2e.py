@@ -239,6 +239,82 @@ def test_preprocessor_fast_mode_matches_parity(synthetic_scene, tmp_path):
     assert (diff > 1).mean() < 0.01
 
 
+def test_cli_mesh_align_matches_fast_single_device(synthetic_scene, tmp_path):
+    """The --mesh route (models.sharded_align, fed shard-by-shard from the
+    memory maps) writes an ALIGNED.TIFF within 1 DN of the single-device
+    fast-mode PreProcessor on the same scene."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from opticalimageprocessor_tpu.io import tiff as tiff_io
+    from opticalimageprocessor_tpu.models.preprocessor import PreProcessor
+    from opticalimageprocessor_tpu.models.sharded_align import (
+        run_sharded_align,
+    )
+
+    sc = synthetic_scene
+    rrc_mss = tuple(
+        _write_identity_rrc(tmp_path, f"m{b}.rrc", BAND_PX) for b in range(4)
+    )
+    pp = PreProcessor(
+        sc["pan"], sc["mss"], "", rrc_mss, out_dir=str(tmp_path),
+        pixels_per_line=PPL, fast=True,
+    )
+    pp.load_and_rrc(do_rrc_pan=False, do_rrc_mss=True)
+    pp.calc_inter_band_correlation(slices=8, sections=1, threshold=0.1)
+    single = pp.do_inter_band_alignment(
+        line_per_section=1600, section_overlap=20, write_tiff=False
+    )
+
+    out = run_sharded_align(
+        sc["pan"], sc["mss"], "", rrc_mss, n_devices=8,
+        do_rrc_pan=False, do_rrc_mss=True, slices=8, sections=1,
+        threshold=0.1, section_overlap=20, out_dir=str(tmp_path),
+        pixels_per_line=PPL,
+    )
+    img = tiff_io.read_tiff(out)
+    # disk channel order [2,1,0,3] -> band order
+    multi = img[:, :, [2, 1, 0, 3]]
+    assert multi.shape == single.shape
+    diff = np.abs(multi.astype(np.int32) - single.astype(np.int32))
+    # the sharded FFT batch partitioning shifts the fitted dy by ~1e-3 px;
+    # on full-gradient synthetic noise that is worth a couple of DN (same
+    # envelope as the documented fast-vs-parity difference); on imagery it
+    # is sub-DN
+    assert diff.max() <= 3, diff.max()
+    assert (diff > 1).mean() < 0.01
+
+
+def test_cli_parse_time_validation(tmp_path, rng):
+    """CLI11 parse-time parity: ->needs rules and ExistingFile checks fail
+    with rc 254 before any work (main.cpp:193-203, :105, :114-119)."""
+    from opticalimageprocessor_tpu import cli
+
+    exists = str(tmp_path / "x.RAW")
+    rng.integers(0, 65536, (4, 8), dtype=np.uint16).tofile(exists)
+    # --rrc-pan without --do-rrc4pan: orphan flag is a usage error
+    assert cli.main(["--pan", exists, "--mss", exists, "--rrc-pan", exists]) == 254
+    # --write-rrcpan without --do-rrc4pan
+    assert (
+        cli.main(["--pan", exists, "--mss", exists, "--write-rrcpan"]) == 254
+    )
+    # missing input files -> 254 at parse time, before any processing
+    assert cli.main(["--pan", "/nope.RAW", "--mss", exists]) == 254
+    assert cli.main(["auxsep", "/nope.dat"]) == 254
+    assert (
+        cli.main(["prestitch", "--pan1", exists, "--pan2", "/nope.RAW"]) == 254
+    )
+    assert (
+        cli.main(
+            ["prestitch", "--pan1", exists, "--pan2", exists, "--rrc1",
+             "/nope.rrc"]
+        )
+        == 254
+    )
+
+
 def test_prestitch_and_stitch_raw(tmp_path, rng):
     from opticalimageprocessor_tpu.models import stitcher as st
 
