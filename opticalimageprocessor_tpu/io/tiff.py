@@ -317,31 +317,74 @@ def read_tiff_info(path: str) -> TiffInfo:
         )
 
 
+def _check_readable(info: TiffInfo) -> None:
+    if info.bits != 16:
+        raise ValueError(f"only 16-bit TIFFs supported, got {info.bits}")
+    if info.compression not in (COMPRESSION_NONE, COMPRESSION_LZW):
+        raise ValueError(f"unsupported compression {info.compression}")
+
+
+def _decode_strip(f, info: TiffInfo, off: int, cnt: int, rows: int):
+    """Decode one strip into a (rows, W, S) uint16 array."""
+    want = rows * info.width * info.samples * 2
+    f.seek(off)
+    data = f.read(int(cnt))
+    if info.compression == COMPRESSION_LZW:
+        data = native.lzw_decode(data, want)
+    arr = np.frombuffer(
+        data[:want], dtype="<u2" if info.little_endian else ">u2"
+    )
+    strip = arr.reshape(rows, info.width, info.samples).astype(np.uint16)
+    if info.predictor == 2:
+        acc = np.cumsum(strip.astype(np.uint64), axis=1)
+        strip = (acc & 0xFFFF).astype(np.uint16)
+    return strip
+
+
+def iter_tiff_strips(path: str):
+    """Yield successive decoded (rows, W, S) uint16 strips of a TIFF
+    without ever materialising the raster — the reader counterpart of
+    :class:`TiffStripWriter`, enabling StitchTiffGDAL-style sectioned
+    streaming (per-section RasterIO loop, imageop.h:489-558)."""
+    info = read_tiff_info(path)
+    _check_readable(info)
+    row = 0
+    with open(path, "rb") as f:
+        for off, cnt in zip(info.strip_offsets, info.strip_counts):
+            rows = min(info.rows_per_strip, info.height - row)
+            yield _decode_strip(f, info, off, cnt, rows)
+            row += rows
+
+
+def iter_tiff_rows(path: str, chunk_rows: int):
+    """Yield (rows, W, S) uint16 blocks of exactly ``chunk_rows`` rows
+    (last block smaller), re-chunking the file's strips; memory is bounded
+    by ``chunk_rows + rows_per_strip`` rows."""
+    pending: list[np.ndarray] = []
+    have = 0
+    for strip in iter_tiff_strips(path):
+        pending.append(strip)
+        have += strip.shape[0]
+        while have >= chunk_rows:
+            block = np.concatenate(pending) if len(pending) > 1 else pending[0]
+            yield block[:chunk_rows]
+            rest = block[chunk_rows:]
+            pending = [rest] if rest.shape[0] else []
+            have = rest.shape[0]
+    if have:
+        yield np.concatenate(pending) if len(pending) > 1 else pending[0]
+
+
 def read_tiff(path: str) -> np.ndarray:
     """Read a strip-based uint16 TIFF (compression none/LZW, predictor 1/2).
 
     Returns (H, W) or (H, W, S) uint16.
     """
     info = read_tiff_info(path)
-    if info.bits != 16:
-        raise ValueError(f"only 16-bit TIFFs supported, got {info.bits}")
-    if info.compression not in (COMPRESSION_NONE, COMPRESSION_LZW):
-        raise ValueError(f"unsupported compression {info.compression}")
+    _check_readable(info)
     out = np.empty((info.height, info.width, info.samples), np.uint16)
     row = 0
-    with open(path, "rb") as f:
-        for off, cnt in zip(info.strip_offsets, info.strip_counts):
-            rows = min(info.rows_per_strip, info.height - row)
-            want = rows * info.width * info.samples * 2
-            f.seek(off)
-            data = f.read(int(cnt))
-            if info.compression == COMPRESSION_LZW:
-                data = native.lzw_decode(data, want)
-            arr = np.frombuffer(data[:want], dtype="<u2" if info.little_endian else ">u2")
-            strip = arr.reshape(rows, info.width, info.samples).astype(np.uint16)
-            if info.predictor == 2:
-                acc = np.cumsum(strip.astype(np.uint64), axis=1)
-                strip = (acc & 0xFFFF).astype(np.uint16)
-            out[row : row + rows] = strip
-            row += rows
+    for strip in iter_tiff_strips(path):
+        out[row : row + strip.shape[0]] = strip
+        row += strip.shape[0]
     return out[..., 0] if info.samples == 1 else out

@@ -366,16 +366,12 @@ def stitch_tiff(
     ri = tiff_io.read_tiff_info(right_path)
     if (li.height, li.width) != (ri.height, ri.width):
         raise RuntimeError("images have different sizes")
+    if li.samples != ri.samples:
+        raise RuntimeError("images have different sizes")
     half = li.width - fold_col_pixels
     out_px = half * 2
     samples = li.samples
     big_input = li.height * out_px * samples * 2 >= 4_000_000_000
-
-    imgL = tiff_io.read_tiff(left_path)
-    imgR = tiff_io.read_tiff(right_path)
-    if imgL.ndim == 2:
-        imgL = imgL[:, :, None]
-        imgR = imgR[:, :, None]
 
     use_gdal_style = use_gdal_style or big_input
     writer = tiff_io.TiffStripWriter(
@@ -387,16 +383,17 @@ def stitch_tiff(
         predictor=use_gdal_style,
         rows_per_strip=512,
     )
-    section = IBPA_DEFAULT_BATCHLINES
+    # stream both inputs section-by-section (never materialising either,
+    # like StitchTiffGDAL's per-band RasterIO loop, imageop.h:489-558);
+    # memory is bounded by one section regardless of raster size
+    section = min(IBPA_DEFAULT_BATCHLINES, 2048)
     with stage("stitch_tiff", li.height * out_px * samples * 2):
-        for off in range(0, li.height, section):
-            rows = min(section, li.height - off)
+        for bl, br in zip(
+            tiff_io.iter_tiff_rows(left_path, section),
+            tiff_io.iter_tiff_rows(right_path, section),
+        ):
             block = np.concatenate(
-                [
-                    imgL[off : off + rows, :half],
-                    imgR[off : off + rows, fold_col_pixels:],
-                ],
-                axis=1,
+                [bl[:, :half], br[:, fold_col_pixels:]], axis=1
             )
             if band_map is not None:
                 block = block[:, :, [m - 1 for m in band_map]]

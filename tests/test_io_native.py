@@ -61,6 +61,38 @@ def test_tiff_streaming_writer(tmp_path, img1):
     np.testing.assert_array_equal(tiff_io.read_tiff(p), img1)
 
 
+@pytest.mark.parametrize("chunk", [17, 48, 64, 200])
+def test_tiff_iter_rows_matches_whole_read(tmp_path, img4, chunk):
+    """The streaming strip reader re-chunked to any block size reproduces
+    the whole-raster read exactly (LZW + predictor, uneven strips)."""
+    p = str(tmp_path / "t.tiff")
+    tiff_io.write_tiff(
+        p, img4, rows_per_strip=48, compression="lzw", predictor=True
+    )
+    blocks = list(tiff_io.iter_tiff_rows(p, chunk))
+    assert all(b.shape[0] == chunk for b in blocks[:-1])
+    got = np.concatenate(blocks)
+    np.testing.assert_array_equal(got, tiff_io.read_tiff(p))
+
+
+def test_stitch_tiff_sectioned_equals_whole(tmp_path, rng):
+    """Streamed sectioned stitching equals the in-memory concat of the two
+    whole rasters (StitchTiffGDAL equivalence, imageop.h:489-558)."""
+    from opticalimageprocessor_tpu.models.stitcher import stitch_tiff
+
+    h, w, fold = 300, 128, 16
+    left = rng.integers(0, 65536, (h, w, 4), dtype=np.uint16)
+    right = rng.integers(0, 65536, (h, w, 4), dtype=np.uint16)
+    lp, rp = str(tmp_path / "L.TIFF"), str(tmp_path / "R.TIFF")
+    tiff_io.write_tiff(lp, left, rows_per_strip=47)
+    tiff_io.write_tiff(rp, right, rows_per_strip=64)  # mismatched strips
+    out = stitch_tiff(
+        lp, rp, str(tmp_path / "S.TIFF"), fold, use_gdal_style=True
+    )
+    want = np.concatenate([left[:, : w - fold], right[:, fold:]], axis=1)
+    np.testing.assert_array_equal(tiff_io.read_tiff(out), want)
+
+
 def test_tiff_row_count_mismatch(tmp_path, img1):
     p = str(tmp_path / "bad.tiff")
     w = tiff_io.TiffStripWriter(p, 300, 200)
