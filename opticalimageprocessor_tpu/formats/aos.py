@@ -104,6 +104,9 @@ class AosScanResult:
     valid: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
     empty: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
     invalid: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    # byte position just past the last consumed frame/signature — the
+    # resume point when scanning a long downlink in chunks
+    cursor: int = 0
 
 
 def find_signatures(buf: np.ndarray, sig: bytes, start: int = 0) -> np.ndarray:
@@ -182,6 +185,7 @@ def scan_aos_frames(buf: np.ndarray) -> AosScanResult:
         valid=np.asarray(valid_offs, dtype=np.int64),
         empty=np.asarray(empty_offs, dtype=np.int64),
         invalid=np.asarray(invalid_offs, dtype=np.int64),
+        cursor=cursor,
     )
 
 
@@ -204,14 +208,17 @@ class ImtrParseResult:
     missing_ranges: list[tuple[int, int]] = field(default_factory=list)
 
 
-def parse_imtr_stream(stream: np.ndarray) -> ImtrParseResult:
+def parse_imtr_stream(
+    stream: np.ndarray, last_seq: int = 0
+) -> ImtrParseResult:
     """Cut 882-byte image-transfer frames from the concatenated AOS payload
     byte stream and validate them (aux_separator.h:469-556).
 
     The reference cuts fixed-size frames with *no* resynchronisation: an
     invalid frame is dropped and the cut continues at the next 882-byte
     boundary.  Sequence gaps are recorded (reference logs a warning,
-    aux_separator.h:530-533).
+    aux_separator.h:530-533); ``last_seq`` seeds the gap detection so a
+    long downlink can be parsed in chunks.
     """
     stream = np.ascontiguousarray(stream, dtype=np.uint8)
     n = stream.shape[0] // IMTR_FRAME_BYTES
@@ -250,7 +257,7 @@ def parse_imtr_stream(stream: np.ndarray) -> ImtrParseResult:
     valid_idx = np.nonzero(ok)[0]
     vseq = seq[valid_idx]
     missing: list[tuple[int, int]] = []
-    last = 0
+    last = last_seq
     for s in vseq.tolist():
         if last + 1 != s:
             missing.append((last + 1, s - 1))

@@ -4,14 +4,17 @@ aux_separator.h:190-748).
 Pipeline parity (SURVEY §3.4) with a vectorised host runtime instead of the
 reference's two-thread byte-at-a-time loop:
 
-1. AOS scan: memory-map the downlink file, find every sync marker
-   (native memmem sweep), validate VCID/injection/CRC-16 in batch, and walk
-   the cursor with the reference's advance rules (valid -> +1024 bytes,
-   invalid/empty -> +4).
+1. AOS scan: read the downlink in fixed-size chunks (peak RSS ~2 chunks
+   for any downlink size, vs the reference's whole-file mmap), find every
+   sync marker (native memmem sweep), validate VCID/injection/CRC-16 in
+   batch, walk the cursor with the reference's advance rules (valid ->
+   +1024 bytes, invalid/empty -> +4), and carry unconsumed tail bytes
+   across chunk seams.
 2. IMTR reassembly: concatenate the 880-byte payloads, cut 882-byte
-   image-transfer frames (no resync), validate signatures + CRC, warn on
-   sequence gaps, and write the 866-byte payloads to the `.IMDT`
-   intermediate file (named station_satellite_CMOS-n_date_time.IMDT).
+   image-transfer frames (no resync, sub-frame remainders carried between
+   chunks), validate signatures + CRC, warn on sequence gaps, and append
+   the 866-byte payloads to the `.IMDT` intermediate file (named
+   station_satellite_CMOS-n_date_time.IMDT).
 3. Image-data separation: scan the IMDT byte stream for image-frame
    signatures (the frame *data precedes* the signature), zero-fill missing
    sequence numbers to keep raster geometry, split each frame into the
@@ -64,6 +67,9 @@ class AuxSeparator:
     input_file: str
     offset: int = 0
     out_dir: str | None = None
+    # AOS scan chunk size: peak host RSS is ~2 chunks regardless of
+    # downlink size (the reference mmaps instead, aux_separator.h:407)
+    chunk_bytes: int = 0  # 0 -> OIP_AUXSEP_CHUNK env or 256 MB
 
     def __post_init__(self):
         self.is_imdt = self.input_file.upper().endswith(".IMDT")
@@ -88,6 +94,11 @@ class AuxSeparator:
                 "to %d (0x%X).", adjusted, adjusted,
             )
             self.offset = adjusted
+        if not self.chunk_bytes:
+            self.chunk_bytes = int(
+                os.environ.get("OIP_AUXSEP_CHUNK", 256 << 20)
+            )
+        self._pool = None
 
     # ------------------------------------------------------------------
     def separate(self) -> dict[str, str]:
@@ -98,31 +109,87 @@ class AuxSeparator:
 
     # -- stages 1+2 -----------------------------------------------------
     def _separate_aos(self):
-        # materialise in RAM once: the scan's random-access gathers are far
-        # cheaper against anonymous memory than against a page-faulting mmap
-        with stage("aos_read", 0):
-            buf = np.fromfile(self.input_file, dtype=np.uint8, offset=self.offset)
-        with stage("aos_scan", buf.nbytes):
-            res = aos.scan_aos_frames(buf)
+        """Chunked AOS scan + IMTR reassembly with carry-over at seams.
+
+        Each chunk is copied into anonymous memory (the scan's
+        random-access CRC gathers are far cheaper there than against a
+        page-faulting mmap) and scanned with the reference cursor rules;
+        unconsumed tail bytes — at most one frame plus a partial sync
+        marker, or the sub-frame IMTR remainder — carry into the next
+        chunk, so peak RSS is ~2 chunks for any downlink size."""
+        total = os.stat(self.input_file).st_size - self.offset
+        n_valid = n_empty = n_invalid = 0
+        carry = b""
+        imtr_tail = b""
+        last_seq = 0
+        n_payload = 0
+        chid = 0
+        f_imdt = None
+        with stage("aos_scan", max(total, 0)), open(self.input_file, "rb") as f:
+            f.seek(self.offset)
+            while True:
+                data = f.read(self.chunk_bytes)
+                if not data and not carry:
+                    break
+                eof = len(data) < self.chunk_bytes
+                buf = np.frombuffer(carry + data, dtype=np.uint8)
+                carry = b""
+                res = aos.scan_aos_frames(buf)
+                n_valid += res.valid.size
+                n_empty += res.empty.size
+                n_invalid += res.invalid.size
+                if not eof:
+                    # candidates needing bytes past the chunk end start
+                    # within the last frame_bytes-1 bytes; a truncated sync
+                    # marker within the last 3
+                    keep = max(
+                        res.cursor,
+                        buf.shape[0] - (aos.AOS_FRAME_BYTES - 1) - 3,
+                    )
+                    carry = buf[keep:].tobytes()
+
+                stream = aos.extract_aos_payloads(buf, res.valid).reshape(-1)
+                blob = imtr_tail + stream.tobytes()
+                n_frames = len(blob) // aos.IMTR_FRAME_BYTES
+                imtr_tail = blob[n_frames * aos.IMTR_FRAME_BYTES :]
+                if n_frames == 0:
+                    if eof:
+                        break
+                    continue
+                imtr = aos.parse_imtr_stream(
+                    np.frombuffer(
+                        blob[: n_frames * aos.IMTR_FRAME_BYTES], np.uint8
+                    ),
+                    last_seq,
+                )
+                for lo, hi in imtr.missing_ranges:
+                    logw(
+                        "missing or invalid image transfer frame(s) "
+                        "#%08d-%08d", lo, hi,
+                    )
+                if imtr.seq.size:
+                    last_seq = int(imtr.seq[-1])
+                    if f_imdt is None:
+                        chid = imtr.chid
+                        self.imdt_file = os.path.join(
+                            self.out_dir or os.getcwd(),
+                            imdt_file_name(
+                                self.afi, chid == aos.IMTR_CHID_CMOS1
+                            ),
+                        )
+                        f_imdt = open(self.imdt_file, "wb")
+                    f_imdt.write(imtr.payload.tobytes())
+                    n_payload += imtr.payload.shape[0]
+                if eof:
+                    break
+        if f_imdt is None:
+            raise RuntimeError("no valid image transfer frames found")
+        f_imdt.close()
         olog(
             "AOS frames: %d valid, %d empty, %d invalid.",
-            res.valid.size, res.empty.size, res.invalid.size,
+            n_valid, n_empty, n_invalid,
         )
-        payloads = aos.extract_aos_payloads(buf, res.valid)
-        stream = payloads.reshape(-1)
-        with stage("imtr_parse", stream.nbytes):
-            imtr = aos.parse_imtr_stream(stream)
-        for lo, hi in imtr.missing_ranges:
-            logw("missing or invalid image transfer frame(s) #%08d-%08d", lo, hi)
-        if imtr.payload.shape[0] == 0:
-            raise RuntimeError("no valid image transfer frames found")
-        self.imdt_file = os.path.join(
-            self.out_dir or os.getcwd(),
-            imdt_file_name(self.afi, imtr.chid == aos.IMTR_CHID_CMOS1),
-        )
-        with stage("imdt_write", imtr.payload.nbytes):
-            imtr.payload.tofile(self.imdt_file)
-        olog("%d frames parsed & written -> %s", imtr.payload.shape[0], self.imdt_file)
+        olog("%d frames parsed & written -> %s", n_payload, self.imdt_file)
 
     # -- stage 3 --------------------------------------------------------
     def _separate_image_data(self) -> dict[str, str]:
@@ -136,7 +203,10 @@ class AuxSeparator:
         mss_path = build_output_file_path(
             self.imdt_file, STEM_EXT_MSS, RAW_FILE_EXT, out_dir=self.out_dir
         )
-        buf = np.fromfile(self.imdt_file, dtype=np.uint8)
+        # memory-map like the reference (aux_separator.h:275): frame reads
+        # are sequential big slices, so RSS stays page-cache-bounded for
+        # any IMDT size
+        buf = np.memmap(self.imdt_file, dtype=np.uint8, mode="r")
 
         zero_aux = bytes(aos.IMGSIG_AUX_ALLBYTES)
         zero_pan = bytes(BYTES_PER_PANLINE * aos.IMGSIG_PAN_LINES)
@@ -185,24 +255,47 @@ class AuxSeparator:
         p = start + aos.IMGSIG_AUX_ALLBYTES
 
         n_vparts = aos.IMGSIG_PAN_VPARTS + aos.IMGSIG_MSS_VPARTS
+        n_tiles = n_vparts * aos.IMGSIG_IMG_HPARTS
+        blocks = []
+        for idx in range(n_tiles):
+            nbytes = int(meta.sub_image_dwords[idx]) * 4
+            blocks.append(buf[p : p + nbytes])
+            p += nbytes
+
+        if meta.z_ratio == aos.IMGSIG_ZRTO_NONE:
+            tiles = (self._inflate_sub_image(meta.z_ratio, b) for b in blocks)
+        else:
+            # decode the 40 JP2 sub-tiles on a worker pool (replacing the
+            # reference's producer/consumer thread pair,
+            # aux_separator.h:233-238): decodes run concurrently and the
+            # ordered result stream overlaps the stripe writes below
+            tiles = self._decode_pool().map(
+                lambda b: self._inflate_sub_image(meta.z_ratio, b), blocks
+            )
+
         stripe = np.empty(
             (aos.IMGSIG_IMBASE_LINES, aos.IMGSIG_IMG_HPARTS * aos.IMGSIG_IMBASE_COLS),
             np.uint16,
         )
-        for r in range(n_vparts):
-            for c in range(aos.IMGSIG_IMG_HPARTS):
-                idx = r * aos.IMGSIG_IMG_HPARTS + c
-                nbytes = int(meta.sub_image_dwords[idx]) * 4
-                tile = self._inflate_sub_image(
-                    meta.z_ratio, buf[p : p + nbytes]
+        for idx, tile in enumerate(tiles):
+            r, c = divmod(idx, aos.IMGSIG_IMG_HPARTS)
+            stripe[
+                :, c * aos.IMGSIG_IMBASE_COLS : (c + 1) * aos.IMGSIG_IMBASE_COLS
+            ] = tile
+            if c == aos.IMGSIG_IMG_HPARTS - 1:
+                (f_pan if r < aos.IMGSIG_PAN_VPARTS else f_mss).write(
+                    np.ascontiguousarray(stripe, dtype="<u2").tobytes()
                 )
-                stripe[
-                    :, c * aos.IMGSIG_IMBASE_COLS : (c + 1) * aos.IMGSIG_IMBASE_COLS
-                ] = tile
-                p += nbytes
-            (f_pan if r < aos.IMGSIG_PAN_VPARTS else f_mss).write(
-                np.ascontiguousarray(stripe, dtype="<u2").tobytes()
+
+    def _decode_pool(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=min(8, os.cpu_count() or 1),
+                thread_name_prefix="jp2",
             )
+        return self._pool
 
     def _inflate_sub_image(self, z_ratio: int, block: np.ndarray) -> np.ndarray:
         shape = (aos.IMGSIG_IMBASE_LINES, aos.IMGSIG_IMBASE_COLS)

@@ -35,8 +35,12 @@ def _write_identity_rrc(tmp_path, name, cols, k=1.0, b=0.0):
     return p
 
 
-def test_auxsep_roundtrip(tmp_path, rng):
-    """Synthetic AOS downlink -> AuxSeparator -> recover PAN/MSS/AUX."""
+@pytest.mark.parametrize("chunk", [0, 50_000])
+def test_auxsep_roundtrip(tmp_path, rng, chunk):
+    """Synthetic AOS downlink -> AuxSeparator -> recover PAN/MSS/AUX.
+
+    chunk=50000 forces the chunked-scan carry-over (not a multiple of the
+    1024-byte frame, so every seam splits a frame and the IMTR remainder)."""
     from opticalimageprocessor_tpu.models.auxsep import AuxSeparator
 
     n_frames = 2
@@ -66,7 +70,7 @@ def test_auxsep_roundtrip(tmp_path, rng):
     with open(aos_path, "wb") as f:
         f.write(aos_stream)
 
-    sep = AuxSeparator(aos_path, out_dir=str(tmp_path))
+    sep = AuxSeparator(aos_path, out_dir=str(tmp_path), chunk_bytes=chunk)
     outs = sep.separate()
 
     got_pan = np.fromfile(outs["pan"], dtype="<u2").reshape(-1, 12288)
