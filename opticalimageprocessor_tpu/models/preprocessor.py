@@ -129,10 +129,11 @@ class PreProcessor:
         self._pan_rrc = pan
 
         with stage("load_mss", self.mss.nbytes):
-            mss = np.asarray(self.mss).reshape(
-                self.lines_mss, MSS_BANDS, self.band_px
+            from ..utils import native
+
+            bands = native.deinterleave_bands(
+                np.asarray(self.mss), MSS_BANDS, self.band_px
             )
-            bands = np.ascontiguousarray(mss.transpose(1, 0, 2))
         if do_rrc_mss:
             if not self.rrc_mss_files or any(
                 not f for f in self.rrc_mss_files

@@ -199,6 +199,8 @@ class Stitcher:
         self.rrc_file_pan2 = build_output_file_path(
             self.pan2, RRC_STEM_EXT, out_dir=self.out_dir
         )
+        from ..io.streaming import stream_process
+
         for src, par, dst in (
             (self.pan1, self.rrc1, self.rrc_file_pan1),
             (self.pan2, self.rrc2, self.rrc_file_pan2),
@@ -208,11 +210,15 @@ class Stitcher:
             strip = raw_io.RawStrip(src, self.pixels_per_line)
             writer = raw_io.RawStripWriter(dst, self.pixels_per_line)
             with stage(f"rrc:{os.path.basename(src)}", strip.nbytes):
-                for off in range(0, strip.lines, REMAP_SECTION_ROWS):
-                    sec = strip.section(off, REMAP_SECTION_ROWS)
-                    writer.write_lines(
-                        np.asarray(rrc.rrc_apply(jnp.asarray(sec), params))
-                    )
+                # double-buffered host->HBM sections: the next section's
+                # read + H2D overlaps this section's RRC, and the previous
+                # result's D2H is deferred one step (io/streaming)
+                stream_process(
+                    strip,
+                    lambda sec: rrc.rrc_apply(sec.data, params),
+                    writer.write_lines,
+                    REMAP_SECTION_ROWS,
+                )
             writer.close()
 
     # -- PreStitch (stitcher.h:83-139 + SectionaryRemap) --------------------

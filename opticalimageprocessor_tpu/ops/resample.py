@@ -133,17 +133,6 @@ def upsample4_f32(x: jax.Array) -> jax.Array:
     return x
 
 
-@jax.jit
-def upsample4_bf16(x: jax.Array) -> jax.Array:
-    """Fast-mode x4 cubic upsample in bfloat16 (same taps/weights; ~0.4%
-    amplitude noise, only used to feed the whitened phase correlation where
-    it moves the measured peak by < 2e-3 px)."""
-    x = x.astype(jnp.bfloat16)
-    x = _upsample4_axis(x, axis=x.ndim - 1)
-    x = _upsample4_axis(x, axis=x.ndim - 2)
-    return x
-
-
 def _resize_axis_generic(x: jax.Array, axis: int, dn: int) -> jax.Array:
     """General cv::resize INTER_CUBIC along one axis (float path):
     per-output-index taps/weights precomputed on host, replicate-clamped."""

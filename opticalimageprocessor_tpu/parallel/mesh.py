@@ -4,7 +4,6 @@ The unbounded axis of a push-broom scene is the line (row) axis; the
 framework shards it across devices — the moral equivalent of sequence
 parallelism for imagery (SURVEY §2: the reference's 20000-line sections with
 halo overlap become line-sharding + `ppermute` halo exchange over ICI).
-A second optional axis shards the 4 MSS bands (data parallel).
 """
 
 from __future__ import annotations
@@ -14,7 +13,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 LINE_AXIS = "line"
-BAND_AXIS = "band"
 
 
 def line_mesh(n_devices: int | None = None) -> Mesh:
@@ -22,11 +20,6 @@ def line_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (LINE_AXIS,))
-
-
-def line_band_mesh(n_line: int, n_band: int) -> Mesh:
-    devs = np.array(jax.devices()[: n_line * n_band]).reshape(n_line, n_band)
-    return Mesh(devs, (LINE_AXIS, BAND_AXIS))
 
 
 def line_sharding(mesh: Mesh) -> NamedSharding:

@@ -105,10 +105,13 @@ def stage(name: str, nbytes: int = 0, log: bool = True):
 
     This is the TPU-framework equivalent of the reference's ubiquitous
     ``stop_watch::rst()/tik()`` + MB/s OLOG pattern (e.g. imageop.h:116-125).
+    Every stage is also emitted as a JAX profiler TraceAnnotation, so
+    device traces show the pipeline stage structure.
     """
     sw = StopWatch()
     try:
-        yield sw
+        with trace_annotation(name):
+            yield sw
     finally:
         es = sw.tik()
         st = _STAGES.setdefault(name, _StageStats())

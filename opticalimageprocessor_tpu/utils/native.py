@@ -55,6 +55,11 @@ def _load():
             ]
             lib.oip_byteswap16.restype = None
             lib.oip_byteswap16.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+            lib.oip_deinterleave_bands.restype = None
+            lib.oip_deinterleave_bands.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p,
+            ]
             lib.oip_lzw_encode.restype = ctypes.c_int64
             lib.oip_lzw_encode.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
@@ -139,6 +144,31 @@ def byteswap16(data: np.ndarray) -> np.ndarray:
         return data
     data[...] = data.byteswap()
     return data
+
+
+def deinterleave_bands(
+    interleaved: np.ndarray, bands: int, seg: int
+) -> np.ndarray:
+    """(lines, bands*seg) uint16 with per-line band segments -> contiguous
+    (bands, lines, seg) — the MSS line layout split (preproc.h:62-75)."""
+    lines = interleaved.shape[0]
+    lib = _load()
+    if (
+        lib is not None
+        and interleaved.flags["C_CONTIGUOUS"]
+        and interleaved.dtype == np.uint16
+    ):
+        out = np.empty((bands, lines, seg), np.uint16)
+        ptrs = np.asarray(
+            [out[b].ctypes.data for b in range(bands)], dtype=np.int64
+        )
+        lib.oip_deinterleave_bands(
+            interleaved.ctypes.data, lines, bands, seg, ptrs.ctypes.data
+        )
+        return out
+    return np.ascontiguousarray(
+        interleaved.reshape(lines, bands, seg).transpose(1, 0, 2)
+    )
 
 
 def lzw_encode(data: bytes | np.ndarray) -> bytes | None:

@@ -134,6 +134,16 @@ def test_byteswap_and_signatures(rng):
     assert list(native.find_signatures(buf, b"SIG")) == [2, 7, 12]
 
 
+def test_deinterleave_bands_matches_numpy(rng):
+    """Native band split == numpy reshape/transpose on the MSS line layout."""
+    lines, bands, seg = 37, 4, 24
+    inter = rng.integers(0, 65536, (lines, bands * seg), dtype=np.uint16)
+    got = native.deinterleave_bands(inter, bands, seg)
+    want = inter.reshape(lines, bands, seg).transpose(1, 0, 2)
+    assert got.shape == (bands, lines, seg)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_crc16_native_matches_python(rng):
     base = rng.integers(0, 256, 4096, dtype=np.uint8)
     offs = np.array([0, 100, 2000], dtype=np.int64)
