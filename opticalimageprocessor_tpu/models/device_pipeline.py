@@ -15,8 +15,9 @@ reference's default + prestitch + stitch commands, HBM-resident end to end:
      PAN2 (blocked-MXU remap, lax.map row-chunk streaming)
   -> CMOS seam concat
 
-This is the throughput path measured by bench.py (3.4 Gpix/s/chip on one
-v5e at a 32768-line scene; remap chunk_rows tuned for HBM locality).  The host-orchestrated models
+This is the throughput path measured by bench.py (4.3 Gpix/s/chip on one
+v5e at a 32768-line scene; registration through the fused Pallas
+cross-power kernel, remap chunk_rows tuned for HBM locality).  The host-orchestrated models
 (PreProcessor/Stitcher) remain the parity-exact route with file IO and the
 reference's sectioning semantics; this pipeline trades those for the
 documented fast-mode envelope (see ops/resample.remap_band_fast,
@@ -62,6 +63,7 @@ def register_fast(
     win: tuple[int, int] = (64, 64),
     exact_sizes: bool = False,
     threshold: float = IBCV_DEF_THRESHOLD,
+    use_fused: bool | None = None,
 ):
     """Fast registration: per-(section, slice) windowed phase correlation.
 
@@ -78,6 +80,14 @@ def register_fast(
     side uses the spectral-upsample identity, and the peak search is
     restricted to ``win`` — deviations measured ~0.015 px.
     ``exact_sizes=True`` restores the OpenCV padding and explicit upsample.
+
+    On TPU (``use_fused`` defaulting True there) the band side runs through
+    the fused Pallas cross-power kernel
+    (ops/phasecorr_pallas.windowed_crosspower_fused): the upsampled band
+    spectrum is reconstructed in VMEM from the small band FFT, so the large
+    (corr_rows, cols/2+1) spectra are never materialised per band — only the
+    PAN tile spectrum is read.  Measured ~4x faster registration than the
+    unfused spectral path at the default tile shapes.
     """
     lines_pan, width = pan_c.shape
     corr_rows = min(lines_pan, CORRELATION_LINES)
@@ -90,6 +100,16 @@ def register_fast(
         pad = (get_optimal_dft_size(corr_rows), get_optimal_dft_size(cols))
     else:
         pad = (corr_rows, cols)
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
+    # the fused kernel needs M = 4*brows (no padding) and an 8-divisible
+    # ky-block that divides brows
+    use_fused = (
+        use_fused
+        and not exact_sizes
+        and brows % 8 == 0
+        and pad == (corr_rows, cols)
+    )
     sec_stride = (
         (lines_pan - corr_rows) // max(1, n_sections - 1)
         if n_sections > 1
@@ -109,6 +129,16 @@ def register_fast(
             bt = jax.lax.dynamic_slice(
                 mss_c, (band, row0 // MSS_BANDS, i * bcols), (1, brows, bcols)
             )[0]
+            if use_fused:
+                from ..ops.phasecorr_pallas import windowed_crosspower_fused
+
+                fbr_s, fbi_s = phasecorr.band_full_spectrum_small(bt)
+                outs.append(
+                    windowed_crosspower_fused(
+                        far, fai, fbr_s, fbi_s, pad, brows, win[0], win[1]
+                    )
+                )
+                continue
             if exact_sizes:
                 up = resample.upsample4_f32(bt.astype(jnp.float32))
                 fbr, fbi = phasecorr.rfft2_padded(up, pad, True)
@@ -226,7 +256,7 @@ def make_device_pipeline(
     slices: int = 10,
     n_sections: int | None = None,
     fold: int = 200,
-    chunk_rows: int = 256,
+    chunk_rows: int = 512,
     row_bound: int = 3,
     stt_sections: int = 10,
     stt_lines: int | None = None,
