@@ -261,6 +261,8 @@ def make_device_pipeline(
     stt_sections: int = 10,
     stt_lines: int | None = None,
     overlap_cols: int = 200,
+    col_block: int = 128,
+    col_halo: int = 16,
 ):
     """Build the jitted full device pipeline.
 
@@ -278,6 +280,11 @@ def make_device_pipeline(
     RRC + registration + the 4-band alignment resample.  Check the two
     valid counts with :func:`check_registration_valid` /
     :func:`check_stt_valid` after the step.
+
+    ``col_block``/``col_halo`` shape the remap's banded column matmul
+    (128/16 measured fastest on v5e); ``col_halo`` statically bounds the
+    supported horizontal shift — |dx| <= col_halo - 2 (band shifts and
+    CMOS mounting offsets are a few pixels; raise it for exotic geometry).
     """
 
     @jax.jit
@@ -293,6 +300,7 @@ def make_device_pipeline(
                 resample.remap_band_fast_chunked(
                     mss_c[i], coeffs[i][0], coeffs[i][1],
                     chunk_rows=chunk_rows, row_bound=row_bound,
+                    col_block=col_block, col_halo=col_halo,
                 )
                 for i in range(MSS_BANDS)
             ],
@@ -307,6 +315,8 @@ def make_device_pipeline(
             jnp.stack([4.0 * dys, jnp.float32(0.0), jnp.float32(0.0)]),
             chunk_rows=chunk_rows,
             row_bound=row_bound,
+            col_block=col_block,
+            col_halo=col_halo,
         )
         stitched = jnp.concatenate(
             [pan1_c[:, : PIXELS_PER_LINE - fold], prestt[:, fold:]], axis=1

@@ -462,21 +462,28 @@ COL_BLOCK = 512      # lanes per column block
 COL_HALO = 32        # max |mapx - x| the blocked matmul supports
 
 
-def _col_interp_matrix(coeff_x, width: int):
+def _col_interp_matrix(coeff_x, width: int, block: int | None = None,
+                       halo: int | None = None):
     """Blocked column-interpolation matrices.
 
     The horizontal 4-tap cubic at column x reads taps around
     ``mapx(x) = x + dx(x)`` with small |dx|; a dense (W, W) selection matrix
     would waste W/4 of the MXU's work, so columns are processed in
-    ``COL_BLOCK``-wide blocks against (COL_BLOCK + 2*COL_HALO, COL_BLOCK)
-    banded matrices: ``out[:, blk] = src[:, blk +- halo] @ M_blk``.
+    ``block``-wide blocks against (block + 2*halo, block) banded matrices:
+    ``out[:, blk] = src[:, blk +- halo] @ M_blk``.
 
-    Returns (n_blocks, COL_BLOCK + 2*COL_HALO, COL_BLOCK) float32; shifts
-    beyond COL_HALO fall outside the band and produce border zeros.  Built
-    in-graph from traced coefficients.
+    Returns (n_blocks, block + 2*halo, block) float32; shifts beyond
+    ``halo`` fall outside the band and produce border zeros.  Built in-graph
+    from traced coefficients.  Defaults (COL_BLOCK/COL_HALO) support
+    |dx| <= 32; the device pipeline narrows the band (128/16) for ~30% less
+    MXU work on v5e.
     """
     f32 = jnp.float32
-    block = min(COL_BLOCK, width)
+    if block is None:
+        block = COL_BLOCK
+    if halo is None:
+        halo = COL_HALO
+    block = min(block, width)
     assert width % block == 0, "width must divide into column blocks"
     n_blocks = width // block
     x = jnp.arange(width, dtype=f32)
@@ -487,13 +494,13 @@ def _col_interp_matrix(coeff_x, width: int):
     w0, w1, w2, w3 = _cubic_weights_f32(fx)
     tap0 = ix - 1
 
-    # per block: local tap index = tap0 - (block_start - COL_HALO)
+    # per block: local tap index = tap0 - (block_start - halo)
     blk_start = (jnp.arange(n_blocks, dtype=jnp.int32) * block)[:, None]
-    tap_loc = tap0.reshape(n_blocks, block) - (blk_start - COL_HALO)
+    tap_loc = tap0.reshape(n_blocks, block) - (blk_start - halo)
     # absolute-tap validity (border 0 outside the image)
     tap_abs = tap0.reshape(n_blocks, block)
-    j = jnp.arange(block + 2 * COL_HALO, dtype=jnp.int32)[None, :, None]
-    m = jnp.zeros((n_blocks, block + 2 * COL_HALO, block), f32)
+    j = jnp.arange(block + 2 * halo, dtype=jnp.int32)[None, :, None]
+    m = jnp.zeros((n_blocks, block + 2 * halo, block), f32)
     for b, wb in enumerate((w0, w1, w2, w3)):
         ok = ((tap_abs + b) >= 0) & ((tap_abs + b) < width)
         sel = (j == (tap_loc + b)[:, None, :]) & ok[:, None, :]
@@ -531,6 +538,8 @@ def remap_band_fast(
     row_bound: int = ROW_OFF_BOUND_FAST,
     g_override: jax.Array | None = None,
     col_matrix: jax.Array | None = None,
+    col_block: int | None = None,
+    col_halo: int | None = None,
 ) -> jax.Array:
     """TPU-fast alignment remap of a (rows, W) uint16 band.
 
@@ -548,7 +557,7 @@ def remap_band_fast(
     coeff_y = jnp.asarray(coeff_y, f32)
 
     if col_matrix is None:
-        col_matrix = _col_interp_matrix(coeff_x, width)
+        col_matrix = _col_interp_matrix(coeff_x, width, col_block, col_halo)
     if g_override is None:
         x = jnp.arange(width, dtype=f32)
         xx = x * f32(MSS_BANDS)
@@ -594,6 +603,8 @@ def _fast_row_pass(
 def remap_band_fast_chunked(
     src: jax.Array, coeff_x, coeff_y, chunk_rows: int,
     row_bound: int = ROW_OFF_BOUND_FAST,
+    col_block: int | None = None,
+    col_halo: int | None = None,
 ) -> jax.Array:
     """Row-chunk-streamed :func:`remap_band_fast` (lax.map) so HBM holds one
     chunk's working set; the column matrix is built once and reused."""
@@ -603,7 +614,9 @@ def remap_band_fast_chunked(
     pad_rows = n_chunks * chunk_rows - rows
     if pad_rows:
         src = jnp.pad(src, ((0, pad_rows), (0, 0)))
-    col_matrix = _col_interp_matrix(jnp.asarray(coeff_x, jnp.float32), width)
+    col_matrix = _col_interp_matrix(
+        jnp.asarray(coeff_x, jnp.float32), width, col_block, col_halo
+    )
     f32 = jnp.float32
     x = jnp.arange(width, dtype=f32)
     xx = x * f32(MSS_BANDS)
