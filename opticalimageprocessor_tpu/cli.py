@@ -185,6 +185,13 @@ def _prestitch(argv) -> int:
                    default="continuous")
     p.add_argument("--fast", action="store_true", default=False,
                    help="TPU fast constant-shift resample")
+    p.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help=(
+            "run the prestitch pipeline SPMD over an N-device line mesh "
+            "(0 = single device; fast-mode remap semantics)"
+        ),
+    )
     a = p.parse_args(argv)
     if a.edge_cols < 0 or a.edge_cols > a.stitch_overlap // 2:
         raise UsageError("invalid edge cols")
@@ -192,6 +199,19 @@ def _prestitch(argv) -> int:
     _require_file(a.pan2, "--pan2")
     _require_file(a.rrc1, "--rrc1")
     _require_file(a.rrc2, "--rrc2")
+
+    if a.mesh:
+        from .models.sharded_prestitch import run_sharded_prestitch
+
+        run_sharded_prestitch(
+            a.pan1, a.pan2, a.rrc1, a.rrc2, n_devices=a.mesh,
+            sections=a.sections, line_per_section=a.section_lines,
+            overlap_cols=a.stitch_overlap, threshold=a.stt_threshold,
+            max_delta_y=a.stt_maxdeltay, edge_cols=a.edge_cols,
+            do_rrc=a.do_rrc, only_calculate=a.only_calculate,
+            out_dir=a.out_dir,
+        )
+        return 0
 
     from .models.stitcher import Stitcher
 

@@ -44,6 +44,42 @@ from ..ops import phasecorr, resample, rrc
 from ..utils.logging import olog, rlog, stage
 
 
+def average_valid_deltas(
+    dxs, dys, rss, offs, threshold: float, max_delta_y: float
+) -> tuple[float, float, float]:
+    """Filter + average the per-section deltas (stitcher.h:163-200): valid =
+    response >= ``threshold`` and, when ``max_delta_y`` > 0,
+    |dy| <= ``max_delta_y``; logs the reference's QA table; raises the
+    reference's "No valid delta value found" error when none survive.
+    Shared by the host :class:`Stitcher` and the multi-chip prestitch."""
+    olog("Calculating stitching delta values ...")
+    rlog("| offset |  delta x |  delta y | response | r |")
+    sx = sy = sr = 0.0
+    valid = 0
+    for i in range(len(offs)):
+        dx, dy, r = float(dxs[i]), float(dys[i]), float(rss[i])
+        ok = r >= threshold and (max_delta_y <= 0.0 or abs(dy) <= max_delta_y)
+        if ok:
+            sx += dx
+            sy += dy
+            sr += r
+            valid += 1
+        rlog(
+            "|%7d |%10.4f|%10.4f|%10.4f|%s|",
+            offs[i], dx, dy, r, " ok " if ok else " x ",
+        )
+    if valid == 0:
+        raise RuntimeError(
+            "No valid delta value found for stitching parameter calculating"
+        )
+    olog(
+        "Total %d valid delta value pairs found, everage value: "
+        "dx: %.5f, dy: %.5f, r: %.5f",
+        valid, sx / valid, sy / valid, sr / valid,
+    )
+    return sx / valid, sy / valid, sr / valid
+
+
 @dataclass
 class Stitcher:
     pan1: str
@@ -123,33 +159,8 @@ class Stitcher:
                 np.stack(s2_tiles).astype(np.float32),
             )
 
-        olog("Calculating stitching delta values ...")
-        rlog("| offset |  delta x |  delta y | response | r |")
-        sx = sy = sr = 0.0
-        valid = 0
-        for i in range(self.sections):
-            dx, dy, r = float(dxs[i]), float(dys[i]), float(rss[i])
-            ok = r >= threshold and (max_delta_y <= 0.0 or abs(dy) <= max_delta_y)
-            if ok:
-                sx += dx
-                sy += dy
-                sr += r
-                valid += 1
-            rlog(
-                "|%7d |%10.4f|%10.4f|%10.4f|%s|",
-                offs[i], dx, dy, r, " ok " if ok else " x ",
-            )
-        if valid == 0:
-            raise RuntimeError(
-                "No valid delta value found for stitching parameter calculating"
-            )
-        self.delta_x = sx / valid
-        self.delta_y = sy / valid
-        self.response = sr / valid
-        olog(
-            "Total %d valid delta value pairs found, everage value: "
-            "dx: %.5f, dy: %.5f, r: %.5f",
-            valid, self.delta_x, self.delta_y, self.response,
+        self.delta_x, self.delta_y, self.response = average_valid_deltas(
+            dxs, dys, rss, offs, threshold, max_delta_y
         )
 
     def _pre_stitch_fast(self, src, writer, out_path: str) -> int:

@@ -334,6 +334,215 @@ def _make_remap_fn(mesh: Mesh):
     return jax.jit(remap)
 
 
+# ---------------------------------------------------------------------------
+# multi-chip prestitch (CalcSttParameters + DoRRC + PreStitch,
+# stitcher.h:83-201, SPMD over the line mesh)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _make_stt_correlate_fn(
+    mesh: Mesh,
+    lines_pan: int,
+    width: int,
+    sections: int,
+    line_per_section: int,
+    overlap_cols: int,
+    edge_cols: int,
+    use_mxu: bool,
+):
+    """Jitted over ``mesh``: extract the reference's ``sections`` sampled
+    overlap-strip windows (stitcher.h:151-176: PAN1's right ``overlap-edge``
+    columns vs PAN2's left) from the line-sharded *uncorrected* strips (the
+    reference correlates before RRC, main.cpp:280-284) and phase-correlate
+    them sharded over the section axis.  Per-tile math identical to the
+    host Stitcher (optimal-DFT padding)."""
+    from ..ops.cv_exact import get_optimal_dft_size
+    from ..ops.phasecorr import _phase_correlate_padded
+
+    n_dev = mesh.shape[LINE_AXIS]
+    gap = (lines_pan - sections * line_per_section) // (sections + 1)
+    step_len = gap + line_per_section
+    ow = overlap_cols - edge_cols
+    pad_to = (get_optimal_dft_size(line_per_section), get_optimal_dft_size(ow))
+    t_pad = -(-sections // n_dev) * n_dev
+
+    def correlate(pan1, pan2):
+        t1 = jnp.stack(
+            [
+                jax.lax.slice(
+                    pan1,
+                    (gap + i * step_len, width - overlap_cols),
+                    (gap + i * step_len + line_per_section, width - edge_cols),
+                )
+                for i in range(sections)
+            ]
+        )
+        t2 = jnp.stack(
+            [
+                jax.lax.slice(
+                    pan2,
+                    (gap + i * step_len, edge_cols),
+                    (gap + i * step_len + line_per_section, overlap_cols),
+                )
+                for i in range(sections)
+            ]
+        )
+        if t_pad != sections:
+            def pad_tiles(t):
+                parts = [t] * (t_pad // sections) + [t[: t_pad % sections]]
+                return jnp.concatenate([p for p in parts if p.shape[0]])
+
+            t1 = pad_tiles(t1)
+            t2 = pad_tiles(t2)
+        t1 = jax.lax.with_sharding_constraint(
+            t1, NamedSharding(mesh, P(LINE_AXIS, None, None))
+        )
+        t2 = jax.lax.with_sharding_constraint(
+            t2, NamedSharding(mesh, P(LINE_AXIS, None, None))
+        )
+
+        def corr_local(a, b):
+            def one(args):
+                return _phase_correlate_padded(
+                    args[0].astype(jnp.float32),
+                    args[1].astype(jnp.float32),
+                    pad_to,
+                    use_mxu,
+                )
+
+            return jax.lax.map(one, (a, b))
+
+        dx, dy, rs = jax.shard_map(
+            corr_local,
+            mesh=mesh,
+            in_specs=(P(LINE_AXIS, None, None),) * 2,
+            out_specs=(P(LINE_AXIS),) * 3,
+            check_vma=False,
+        )(t1, t2)
+        return dx[:sections], dy[:sections], rs[:sections]
+
+    in_shardings = (NamedSharding(mesh, P(LINE_AXIS, None)),) * 2
+    out_shardings = (NamedSharding(mesh, P()),) * 3
+    return jax.jit(
+        correlate, in_shardings=in_shardings, out_shardings=out_shardings
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _make_rrc_fn(mesh: Mesh):
+    """Jitted sharded elementwise RRC of one strip (sharding-preserving)."""
+
+    def apply(strip, params):
+        return _rrc_jnp(strip, params)
+
+    return jax.jit(
+        apply,
+        in_shardings=(
+            NamedSharding(mesh, P(LINE_AXIS, None)),
+            NamedSharding(mesh, P()),
+        ),
+        out_shardings=NamedSharding(mesh, P(LINE_AXIS, None)),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _make_prestt_remap_fn(mesh: Mesh, row_bound: int):
+    """Jitted shard_map: constant-shift prestitch resample of one strip with
+    ppermute halos (the SPMD analogue of SectionaryRemap's 30000-row
+    streaming, imageop.h:230-275 — true neighbour rows at shard seams)."""
+    n_dev = mesh.shape[LINE_AXIS]
+
+    def remap(pan2_c, coeff_x, coeff_y):
+        rows = pan2_c.shape[0]
+        pad = (-rows) % n_dev
+        if pad:
+            pan2_c = jnp.pad(pan2_c, ((0, pad), (0, 0)))
+
+        def local(p_l, cx, cy):
+            return _remap_local_const(p_l, cx, cy, row_bound)
+
+        out = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(LINE_AXIS, None), P(), P()),
+            out_specs=P(LINE_AXIS, None),
+            check_vma=False,
+        )(pan2_c, coeff_x, coeff_y)
+        return out[:rows] if pad else out
+
+    return jax.jit(remap)
+
+
+def _remap_local_const(p_l, coeff_x, coeff_y, row_bound: int):
+    """Local-shard constant-shift remap (remap_band_dynamic with an explicit
+    row bound so |dy| > ROW_OFF_BOUND mounting offsets stay supported)."""
+    from ..ops.resample import (
+        _col_interp_apply,
+        _col_interp_matrix,
+        _fast_row_pass,
+    )
+
+    f32 = jnp.float32
+    rows, width = p_l.shape
+    col_matrix = _col_interp_matrix(jnp.asarray(coeff_x, f32), width)
+    cy = jnp.asarray(coeff_y, f32)
+    x = jnp.arange(width, dtype=f32)
+    xx = x * f32(MSS_BANDS)
+    g = (cy[2] * xx * xx + cy[1] * xx + cy[0]) / f32(MSS_BANDS)
+    colg = _col_interp_apply(p_l.astype(f32), col_matrix)
+    halo_top = row_bound + 1
+    padded = exchange_halo(colg, halo_top, row_bound + 2, LINE_AXIS)
+    acc = _fast_row_pass(padded, g, rows, width, row_bound, halo_top)
+    return jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
+
+
+def make_prestitch_step(
+    mesh: Mesh,
+    sections: int,
+    line_per_section: int,
+    overlap_cols: int,
+    edge_cols: int = 0,
+):
+    """Build the multi-chip prestitch pieces over ``mesh`` (axis 'line').
+
+    Returns (correlate, rrc, remap):
+      correlate(pan1 u16, pan2 u16) -> (dx, dy, rs) per section — run on the
+        *uncorrected* strips (reference order, main.cpp:280-284), filter on
+        the host with models.stitcher.average_valid_deltas;
+      rrc(strip, params) -> corrected strip (line-sharded in and out);
+      remap(pan2_c, delta_x, delta_y) -> prestitched strip — pass the
+        averaged deltas as the constant-shift coefficients
+        (cX = [4*dx, 0], cY = [4*dy, 0, 0], the alignment-polynomial
+        encoding of mapx = x + dx / mapy = y + dy).
+    """
+    use_mxu = all(d.platform == "tpu" for d in mesh.devices.flat)
+
+    def correlate(pan1, pan2):
+        lines_pan, width = pan1.shape
+        fn = _make_stt_correlate_fn(
+            mesh, lines_pan, width, sections, line_per_section,
+            overlap_cols, edge_cols, use_mxu,
+        )
+        return fn(pan1, pan2)
+
+    rrc_fn = _make_rrc_fn(mesh)
+
+    def remap(pan2_c, delta_x: float, delta_y: float):
+        import math
+
+        row_bound = max(
+            ROW_OFF_BOUND, int(math.ceil(abs(float(delta_y)))) + 1
+        )
+        fn = _make_prestt_remap_fn(mesh, row_bound)
+        cx = jnp.asarray([4.0 * float(delta_x), 0.0], jnp.float32)
+        cy = jnp.asarray(
+            [4.0 * float(delta_y), 0.0, 0.0], jnp.float32
+        )
+        return fn(pan2_c, cx, cy)
+
+    return correlate, rrc_fn, remap
+
+
 def make_align_step(
     mesh: Mesh,
     slices: int = IBCV_DEF_SLICES,

@@ -223,3 +223,70 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (512, 3072) and out.dtype == jnp.uint16
+
+
+def test_sharded_prestitch_matches_host(tmp_path, rng):
+    """The --mesh prestitch route: stt deltas match the host Stitcher's
+    exactly (same tile math) and the sharded constant-shift remap matches
+    the host fast remap within 1 DN."""
+    from opticalimageprocessor_tpu.models import stitcher as st
+    from opticalimageprocessor_tpu.models.sharded_prestitch import (
+        run_sharded_prestitch,
+    )
+
+    ppl, lines, overlap = 1024, 640, 64
+    terrain = rng.integers(2000, 42000, (lines + 16, ppl * 2)).astype(
+        np.uint16
+    )
+    pan1 = terrain[4 : 4 + lines, :ppl]
+    pan2 = terrain[6 : 6 + lines, ppl - overlap + 3 : 2 * ppl - overlap + 3]
+    p1 = str(tmp_path / "c1.PAN.RAW")
+    p2 = str(tmp_path / "c2.PAN.RAW")
+    pan1.astype("<u2").tofile(p1)
+    pan2.astype("<u2").tofile(p2)
+
+    host_dir = tmp_path / "host"
+    host_dir.mkdir()
+    s = st.Stitcher(
+        p1, p2, sections=3, line_per_section=128, overlap_cols=overlap,
+        out_dir=str(host_dir), pixels_per_line=ppl, fast=True,
+    )
+    s.calc_stt_parameters(threshold=0.05)
+    s.pre_stitch()
+    host_out = np.fromfile(s.prestt_file_pan2, dtype="<u2").reshape(-1, ppl)
+
+    mesh_dir = tmp_path / "mesh"
+    mesh_dir.mkdir()
+    dx, dy, prestt_path = run_sharded_prestitch(
+        p1, p2, n_devices=8, sections=3, line_per_section=128,
+        overlap_cols=overlap, threshold=0.05, do_rrc=False,
+        out_dir=str(mesh_dir), pixels_per_line=ppl,
+    )
+    assert abs(dx - s.delta_x) < 1e-4
+    assert abs(dy - s.delta_y) < 1e-4
+    got = np.fromfile(prestt_path, dtype="<u2").reshape(-1, ppl)
+    n = min(got.shape[0], host_out.shape[0])
+    d = np.abs(
+        got[:n].astype(np.int32) - host_out[:n].astype(np.int32)
+    )
+    assert d.max() <= 1, d.max()
+
+
+def test_sharded_prestitch_no_valid_delta(tmp_path):
+    """Flat strips produce no valid correlation -> the reference's error."""
+    from opticalimageprocessor_tpu.models.sharded_prestitch import (
+        run_sharded_prestitch,
+    )
+
+    ppl, lines = 1024, 512
+    flat = np.full((lines, ppl), 9000, np.uint16)
+    p1 = str(tmp_path / "f1.PAN.RAW")
+    p2 = str(tmp_path / "f2.PAN.RAW")
+    flat.astype("<u2").tofile(p1)
+    flat.astype("<u2").tofile(p2)
+    with pytest.raises(RuntimeError, match="No valid delta value found"):
+        run_sharded_prestitch(
+            p1, p2, n_devices=8, sections=3, line_per_section=128,
+            overlap_cols=64, threshold=0.9, do_rrc=False,
+            out_dir=str(tmp_path), pixels_per_line=ppl,
+        )
