@@ -20,8 +20,12 @@ extern "C" {
 
 // ---------------------------------------------------------------------------
 // CRC-16/CCITT-FALSE (poly 0x1021, init 0xFFFF, no reflect, xorout 0)
+//
+// Slice-by-8: T[k][b] = CRC (init 0) of byte b followed by k zero bytes, so
+// eight bytes fold in one step (the 16-bit state only touches the first two
+// lookups).  ~5x the byte-at-a-time table walk; bit-identical results.
 // ---------------------------------------------------------------------------
-static uint16_t crc_table[256];
+static uint16_t crc_table[8][256];
 static bool crc_init_done = false;
 
 static void crc_init() {
@@ -29,30 +33,44 @@ static void crc_init() {
         uint32_t crc = (uint32_t)b << 8;
         for (int i = 0; i < 8; ++i)
             crc = (crc & 0x8000u) ? ((crc << 1) ^ 0x1021u) : (crc << 1);
-        crc_table[b] = (uint16_t)(crc & 0xFFFFu);
+        crc_table[0][b] = (uint16_t)(crc & 0xFFFFu);
     }
+    for (int k = 1; k < 8; ++k)
+        for (int b = 0; b < 256; ++b) {
+            uint16_t c = crc_table[k - 1][b];
+            crc_table[k][b] =
+                (uint16_t)((c << 8) ^ crc_table[0][(c >> 8) & 0xFF]);
+        }
     crc_init_done = true;
+}
+
+static inline uint16_t crc16_run(const uint8_t* p, int64_t n, uint16_t crc) {
+    while (n >= 8) {
+        crc = (uint16_t)(crc_table[7][p[0] ^ (crc >> 8)] ^
+                         crc_table[6][p[1] ^ (crc & 0xFF)] ^
+                         crc_table[5][p[2]] ^ crc_table[4][p[3]] ^
+                         crc_table[3][p[4]] ^ crc_table[2][p[5]] ^
+                         crc_table[1][p[6]] ^ crc_table[0][p[7]]);
+        p += 8;
+        n -= 8;
+    }
+    for (int64_t i = 0; i < n; ++i)
+        crc = (uint16_t)((crc << 8) ^
+                         crc_table[0][((crc >> 8) ^ p[i]) & 0xFF]);
+    return crc;
 }
 
 uint16_t oip_crc16(const uint8_t* data, size_t n) {
     if (!crc_init_done) crc_init();
-    uint16_t crc = 0xFFFFu;
-    for (size_t i = 0; i < n; ++i)
-        crc = (uint16_t)((crc << 8) ^ crc_table[((crc >> 8) ^ data[i]) & 0xFF]);
-    return crc;
+    return crc16_run(data, (int64_t)n, 0xFFFFu);
 }
 
 // CRC over many equal-length frames given by byte offsets into `base`.
 void oip_crc16_many(const uint8_t* base, const int64_t* offsets, int64_t n_frames,
                     int64_t frame_len, uint16_t* out) {
     if (!crc_init_done) crc_init();
-    for (int64_t f = 0; f < n_frames; ++f) {
-        const uint8_t* p = base + offsets[f];
-        uint16_t crc = 0xFFFFu;
-        for (int64_t i = 0; i < frame_len; ++i)
-            crc = (uint16_t)((crc << 8) ^ crc_table[((crc >> 8) ^ p[i]) & 0xFF]);
-        out[f] = crc;
-    }
+    for (int64_t f = 0; f < n_frames; ++f)
+        out[f] = crc16_run(base + offsets[f], frame_len, 0xFFFFu);
 }
 
 // ---------------------------------------------------------------------------

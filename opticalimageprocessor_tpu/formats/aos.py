@@ -256,17 +256,26 @@ def parse_imtr_stream(
     )
     valid_idx = np.nonzero(ok)[0]
     vseq = seq[valid_idx]
-    missing: list[tuple[int, int]] = []
-    last = last_seq
-    for s in vseq.tolist():
-        if last + 1 != s:
-            missing.append((last + 1, s - 1))
-        last = s
+    # vectorised sequence-gap detection (the per-frame python walk costs
+    # ~1 s on a 200k-frame downlink)
+    if vseq.size:
+        prev = np.concatenate(
+            [[np.uint32(last_seq)], vseq[:-1]]
+        ).astype(np.int64)
+        gap_at = np.nonzero(vseq.astype(np.int64) != prev + 1)[0]
+        missing = [
+            (int(prev[i]) + 1, int(vseq[i]) - 1) for i in gap_at.tolist()
+        ]
+    else:
+        missing = []
     chid = int(frames[valid_idx[0], IMTR_CHID_OFF]) if valid_idx.size else 0
+    body = frames[:, IMTR_IMGDATA_OFF : IMTR_IMGDATA_OFF + IMTR_IMGDATA_BYTES]
+    if valid_idx.size == n:
+        payload = np.ascontiguousarray(body)  # all valid: strided copy, no
+    else:                                     # per-row fancy gather
+        payload = np.ascontiguousarray(body[valid_idx])
     return ImtrParseResult(
-        payload=np.ascontiguousarray(
-            frames[valid_idx, IMTR_IMGDATA_OFF : IMTR_IMGDATA_OFF + IMTR_IMGDATA_BYTES]
-        ),
+        payload=payload,
         seq=vseq,
         chid=chid,
         n_frames=n,

@@ -119,8 +119,8 @@ class AuxSeparator:
         chunk, so peak RSS is ~2 chunks for any downlink size."""
         total = os.stat(self.input_file).st_size - self.offset
         n_valid = n_empty = n_invalid = 0
-        carry = b""
-        imtr_tail = b""
+        carry = np.zeros(0, np.uint8)
+        imtr_tail = np.zeros(0, np.uint8)
         last_seq = 0
         n_payload = 0
         chid = 0
@@ -129,11 +129,14 @@ class AuxSeparator:
             f.seek(self.offset)
             while True:
                 data = f.read(self.chunk_bytes)
-                if not data and not carry:
+                if not data and not carry.size:
                     break
                 eof = len(data) < self.chunk_bytes
-                buf = np.frombuffer(carry + data, dtype=np.uint8)
-                carry = b""
+                chunk = np.frombuffer(data, dtype=np.uint8)
+                buf = (
+                    np.concatenate([carry, chunk]) if carry.size else chunk
+                )
+                carry = np.zeros(0, np.uint8)
                 res = aos.scan_aos_frames(buf)
                 n_valid += res.valid.size
                 n_empty += res.empty.size
@@ -146,21 +149,22 @@ class AuxSeparator:
                         res.cursor,
                         buf.shape[0] - (aos.AOS_FRAME_BYTES - 1) - 3,
                     )
-                    carry = buf[keep:].tobytes()
+                    carry = buf[keep:].copy()
 
                 stream = aos.extract_aos_payloads(buf, res.valid).reshape(-1)
-                blob = imtr_tail + stream.tobytes()
-                n_frames = len(blob) // aos.IMTR_FRAME_BYTES
-                imtr_tail = blob[n_frames * aos.IMTR_FRAME_BYTES :]
+                blob = (
+                    np.concatenate([imtr_tail, stream])
+                    if imtr_tail.size
+                    else stream
+                )
+                n_frames = blob.shape[0] // aos.IMTR_FRAME_BYTES
+                imtr_tail = blob[n_frames * aos.IMTR_FRAME_BYTES :].copy()
                 if n_frames == 0:
                     if eof:
                         break
                     continue
                 imtr = aos.parse_imtr_stream(
-                    np.frombuffer(
-                        blob[: n_frames * aos.IMTR_FRAME_BYTES], np.uint8
-                    ),
-                    last_seq,
+                    blob[: n_frames * aos.IMTR_FRAME_BYTES], last_seq
                 )
                 for lo, hi in imtr.missing_ranges:
                     logw(
@@ -178,7 +182,7 @@ class AuxSeparator:
                             ),
                         )
                         f_imdt = open(self.imdt_file, "wb")
-                    f_imdt.write(imtr.payload.tobytes())
+                    f_imdt.write(memoryview(imtr.payload).cast("B"))
                     n_payload += imtr.payload.shape[0]
                 if eof:
                     break
@@ -284,7 +288,9 @@ class AuxSeparator:
             ] = tile
             if c == aos.IMGSIG_IMG_HPARTS - 1:
                 (f_pan if r < aos.IMGSIG_PAN_VPARTS else f_mss).write(
-                    np.ascontiguousarray(stripe, dtype="<u2").tobytes()
+                    memoryview(
+                        np.ascontiguousarray(stripe, dtype="<u2")
+                    ).cast("B")
                 )
 
     def _decode_pool(self):
