@@ -34,7 +34,6 @@ from ..constants import (
     IBCV_DEF_THRESHOLD,
     IBCV_MIN_COUNT,
     MSS_BANDS,
-    PIXELS_PER_LINE,
 )
 from ..ops import phasecorr, resample, rrc
 from ..ops.cv_exact import get_optimal_dft_size
@@ -91,6 +90,11 @@ def register_fast(
     """
     lines_pan, width = pan_c.shape
     corr_rows = min(lines_pan, CORRELATION_LINES)
+    if not exact_sizes:
+        # fast mode skips optimal-DFT padding, so the tile height itself
+        # must be MXU-factorable; round to a multiple of 64 (no-op at the
+        # reference's 16000-line window)
+        corr_rows = max(64, corr_rows - corr_rows % 64)
     if n_sections is None:
         n_sections = max(1, min(5, lines_pan // CORRELATION_LINES))
     cols = width // slices
@@ -210,6 +214,9 @@ def stt_estimate_fast(
     """
     lines, width = pan1_c.shape
     lps = line_per_section or max(64, min(16000, lines // sections))
+    # keep the window height MXU-factorable (ops/fft_mxu needs composite
+    # lengths; an arbitrary strip length can make lines//sections prime)
+    lps = max(64, lps - lps % 64)
     gap = (lines - sections * lps) // (sections + 1)
     step = gap + lps
     ow = overlap_cols - edge_cols
@@ -319,7 +326,7 @@ def make_device_pipeline(
             col_halo=col_halo,
         )
         stitched = jnp.concatenate(
-            [pan1_c[:, : PIXELS_PER_LINE - fold], prestt[:, fold:]], axis=1
+            [pan1_c[:, : pan1_c.shape[1] - fold], prestt[:, fold:]], axis=1
         )
         return aligned, stitched, n_valid, n_stt
 

@@ -484,7 +484,12 @@ def _col_interp_matrix(coeff_x, width: int, block: int | None = None,
     if halo is None:
         halo = COL_HALO
     block = min(block, width)
-    assert width % block == 0, "width must divide into column blocks"
+    if width % block:
+        # fall back to the largest divisor of the width (camera widths
+        # 12288/3072 divide all standard blocks; test/exotic widths don't)
+        block = next(
+            b for b in range(block, 0, -1) if width % b == 0
+        )
     n_blocks = width // block
     x = jnp.arange(width, dtype=f32)
     xx = x * f32(MSS_BANDS)

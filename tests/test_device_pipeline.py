@@ -161,3 +161,41 @@ def test_device_pipeline_shapes(rng):
         np.asarray(stitched[:, : PIXELS_PER_LINE - 200]),
         pan1_h[:, : PIXELS_PER_LINE - 200],
     )
+
+
+def test_pipeline_odd_strip_lengths(rng):
+    """Arbitrary (prime-ish) strip lengths must not break the fast path's
+    MXU DFT factorisation (stt window heights are rounded to x64)."""
+    import jax
+    import jax.numpy as jnp
+
+    from opticalimageprocessor_tpu.models import device_pipeline as dp
+    from opticalimageprocessor_tpu.ops import rrc
+
+    lines_pan, width = 1310, 640   # lines//10 = 131 (prime)
+    pan1 = jnp.asarray(
+        rng.integers(0, 65536, (lines_pan, width), dtype=np.uint16)
+    )
+    pan2 = jnp.roll(pan1, 3, axis=1)
+    mss = jnp.asarray(
+        rng.integers(
+            0, 65536, (4, lines_pan // 4, width // 4), dtype=np.uint16
+        )
+    )
+    params = jnp.asarray(
+        rrc.split_rrc_params(np.ones(width), np.zeros(width))
+    )
+    bparams = jnp.asarray(
+        np.stack(
+            [rrc.split_rrc_params(np.ones(width // 4), np.zeros(width // 4))]
+            * 4
+        )
+    )
+    pipe = dp.make_device_pipeline(
+        slices=8, stt_sections=2, overlap_cols=32, fold=32
+    )
+    aligned, stitched, n_valid, n_stt = jax.jit(pipe)(
+        pan1, pan2, mss, params, params, bparams
+    )
+    assert aligned.shape == (lines_pan // 4, width // 4, 4)
+    assert stitched.shape == (lines_pan, 2 * (width - 32))
