@@ -229,6 +229,58 @@ def _prestitch(argv) -> int:
     return 0
 
 
+def _scene(argv) -> int:
+    p = argparse.ArgumentParser(
+        prog="oiptpu scene",
+        description=(
+            "Whole-scene fused pipeline: RRC + registration + alignment + "
+            "prestitch + stitch in ONE device program (fast-mode semantics; "
+            "scene must fit in HBM)"
+        ),
+    )
+    p.add_argument("--pan1", required=True, help="CMOS1 PAN raw image")
+    p.add_argument("--pan2", required=True, help="CMOS2 PAN raw image")
+    p.add_argument("--mss", required=True, help="CMOS1 MSS raw image")
+    p.add_argument("--rrc-pan1", default="", help="RRC CSV for PAN1")
+    p.add_argument("--rrc-pan2", default="", help="RRC CSV for PAN2")
+    for b in range(1, 5):
+        p.add_argument(f"--rrc-msb{b}", default="",
+                       help=f"RRC CSV for MSS band #{b}")
+    p.add_argument("--slices", type=int, default=C.IBCV_DEF_SLICES)
+    p.add_argument("--ibc-sections", type=int, default=0,
+                   help="registration sections (0 = auto from strip length)")
+    p.add_argument("-c", "--fold-cols", type=int, default=C.STT_DEF_OVERLAPPX)
+    p.add_argument("-s", "--stt-sections", type=int, default=C.STT_DEF_SECTIONS)
+    p.add_argument("--ibc-threshold", type=float, default=C.IBCV_DEF_THRESHOLD)
+    p.add_argument("--stt-threshold", type=float, default=C.STT_DEF_PHCTHRHLD)
+    p.add_argument("--stt-maxdeltay", type=float, default=C.STT_DEF_MAXDELTAY)
+    p.add_argument("-o", "--out", default="",
+                   help="stitched PAN output (.TIFF or .RAW)")
+    p.add_argument("--out-dir", default=None)
+    a = p.parse_args(argv)
+    if a.fold_cols < 2:
+        raise UsageError("fold column value too small")
+    rrc_mss = (a.rrc_msb1, a.rrc_msb2, a.rrc_msb3, a.rrc_msb4)
+    for opt, f in (
+        ("--pan1", a.pan1), ("--pan2", a.pan2), ("--mss", a.mss),
+        ("--rrc-pan1", a.rrc_pan1), ("--rrc-pan2", a.rrc_pan2),
+        *[(f"--rrc-msb{i}", f) for i, f in enumerate(rrc_mss, 1)],
+    ):
+        _require_file(f, opt)
+
+    from .models.scene import run_scene
+
+    run_scene(
+        a.pan1, a.pan2, a.mss, a.rrc_pan1, a.rrc_pan2, rrc_mss,
+        slices=a.slices, sections=a.ibc_sections or None,
+        fold_cols=a.fold_cols, stt_sections=a.stt_sections,
+        threshold=a.ibc_threshold, stt_threshold=a.stt_threshold,
+        stt_max_delta_y=a.stt_maxdeltay,
+        out_stitched=a.out, out_dir=a.out_dir,
+    )
+    return 0
+
+
 def _stitch(argv) -> int:
     p = argparse.ArgumentParser(prog="oiptpu stitch",
                                 description="Stitch two PAN or MSS images.")
@@ -319,6 +371,8 @@ def main(argv=None) -> int:
             rc = _prestitch(argv[1:])
         elif argv and argv[0] == "stitch":
             rc = _stitch(argv[1:])
+        elif argv and argv[0] == "scene":
+            rc = _scene(argv[1:])
         else:
             a = _build_default_parser().parse_args(argv)
             rc = _default_action(a)

@@ -270,6 +270,9 @@ def make_device_pipeline(
     overlap_cols: int = 200,
     col_block: int = 128,
     col_halo: int = 16,
+    stt_threshold: float = IBCV_DEF_THRESHOLD,
+    stt_max_delta_y: float = 0.0,
+    threshold: float = IBCV_DEF_THRESHOLD,
 ):
     """Build the jitted full device pipeline.
 
@@ -301,7 +304,9 @@ def make_device_pipeline(
         mss_c = jnp.stack(
             [rrc.rrc_apply(mss[i], mss_params[i]) for i in range(MSS_BANDS)]
         )
-        coeffs, n_valid = register_fast(pan1_c, mss_c, slices, n_sections)
+        coeffs, n_valid = register_fast(
+            pan1_c, mss_c, slices, n_sections, threshold=threshold
+        )
         aligned = jnp.stack(
             [
                 resample.remap_band_fast_chunked(
@@ -315,6 +320,7 @@ def make_device_pipeline(
         )
         dxs, dys, _resp, n_stt = stt_estimate_fast(
             pan1_c, pan2_c, stt_sections, stt_lines, overlap_cols,
+            threshold=stt_threshold, max_delta_y=stt_max_delta_y,
         )
         prestt = resample.remap_band_fast_chunked(
             pan2_c,

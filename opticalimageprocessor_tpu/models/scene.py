@@ -1,0 +1,152 @@
+"""Whole-scene fused pipeline (the CLI's ``scene`` subcommand).
+
+One jitted device program covers what the reference runs as three separate
+processes over intermediate files (``DOC/sample-task.sh`` steps 1-3:
+prestitch -> stitch -> align): RRC of both PANs and the MSS bands,
+PAN<->MSS registration + polynomial fit, stt-parameter estimation on the
+dual-CMOS overlap, the alignment and prestitch resamples, and the seam
+concat — HBM-resident end to end (models/device_pipeline, the bench.py
+surface).  Outputs the CMOS1 ALIGNED.TIFF and the stitched PAN in one run,
+with the reference's validity failures (``Not enough valid correlation
+values``, ``No valid delta value found``) surfaced identically.
+
+Fast-mode semantics (documented in ops/resample / models/device_pipeline):
+within 1 DN of the file-materialised parity pipelines.  The scene must fit
+in HBM (~10x the PAN strip bytes); use the ``prestitch``/``stitch``/default
+commands for strips beyond that.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..constants import (
+    BYTES_PER_PIXEL,
+    IBPA_STEM_EXT,
+    MSS_BANDS,
+    PIXELS_PER_LINE,
+    TIFF_FILE_EXT,
+)
+from ..formats.naming import build_output_file_path
+from ..formats.rrc_csv import load_rrc_params
+from ..io import raw as raw_io
+from ..io import tiff as tiff_io
+from ..ops import rrc
+from ..utils.logging import olog, stage
+
+
+def _params(path: str, cols: int) -> np.ndarray:
+    if not path:
+        return rrc.split_rrc_params(np.ones(cols), np.zeros(cols))
+    kb = load_rrc_params(path, cols)
+    return rrc.split_rrc_params(kb[:, 0], kb[:, 1])
+
+
+def run_scene(
+    pan1_file: str,
+    pan2_file: str,
+    mss_file: str,
+    rrc_pan1: str = "",
+    rrc_pan2: str = "",
+    rrc_mss_files: tuple[str, str, str, str] | None = None,
+    slices: int = 10,
+    sections: int | None = None,
+    fold_cols: int = 200,
+    stt_sections: int = 10,
+    threshold: float | None = None,
+    stt_threshold: float | None = None,
+    stt_max_delta_y: float = 0.0,
+    out_stitched: str = "",
+    out_dir: str | None = None,
+    pixels_per_line: int = PIXELS_PER_LINE,
+    bgr_tiff_order: bool = True,
+):
+    """Run the fused scene pipeline; returns (aligned_path, stitched_path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .device_pipeline import (
+        check_registration_valid,
+        check_stt_valid,
+        make_device_pipeline,
+    )
+
+    band_px = pixels_per_line // MSS_BANDS
+    p1 = raw_io.RawStrip(pan1_file, pixels_per_line)
+    p2 = raw_io.RawStrip(pan2_file, pixels_per_line)
+    ms = raw_io.RawStrip(mss_file, pixels_per_line)
+    if p1.nbytes != p2.nbytes:
+        raise ValueError("PAN1 size doesn't match PAN2 size")
+    if p1.nbytes != MSS_BANDS * ms.nbytes:
+        raise ValueError(
+            "PAN file size does not match MSS file size: PAN file should "
+            f"be {MSS_BANDS}x as large as MSS file"
+        )
+    if p1.nbytes % (pixels_per_line * BYTES_PER_PIXEL) != 0:
+        raise ValueError(
+            "PAN file size invalid: should be multiplies of "
+            f"{pixels_per_line * BYTES_PER_PIXEL}"
+        )
+    olog("Scene: PAN %d lines, MSS %d lines.", p1.lines, ms.lines)
+
+    with stage("scene_load", p1.nbytes * 2 + ms.nbytes):
+        pan1 = jnp.asarray(np.asarray(p1))
+        pan2 = jnp.asarray(np.asarray(p2))
+        mss = jnp.asarray(
+            np.asarray(ms)
+            .reshape(ms.lines, MSS_BANDS, band_px)
+            .transpose(1, 0, 2)
+        )
+    pan1_params = jnp.asarray(_params(rrc_pan1, pixels_per_line))
+    pan2_params = jnp.asarray(_params(rrc_pan2, pixels_per_line))
+    mss_files = rrc_mss_files or ("", "", "", "")
+    mss_params = jnp.asarray(
+        np.stack([_params(f, band_px) for f in mss_files])
+    )
+
+    from ..constants import IBCV_DEF_THRESHOLD
+
+    pipeline = make_device_pipeline(
+        slices=slices, n_sections=sections, fold=fold_cols // 2,
+        stt_sections=stt_sections,
+        threshold=(
+            IBCV_DEF_THRESHOLD if threshold is None else threshold
+        ),
+        stt_threshold=(
+            IBCV_DEF_THRESHOLD if stt_threshold is None else stt_threshold
+        ),
+        stt_max_delta_y=stt_max_delta_y,
+    )
+    with stage("scene_pipeline", p1.nbytes * 2 + ms.nbytes):
+        aligned, stitched, n_valid, n_stt = pipeline(
+            pan1, pan2, mss, pan1_params, pan2_params, mss_params
+        )
+        jax.block_until_ready(stitched)
+    check_registration_valid(np.asarray(n_valid))
+    check_stt_valid(np.asarray(n_stt))
+
+    aligned_path = build_output_file_path(
+        mss_file, IBPA_STEM_EXT, TIFF_FILE_EXT, out_dir=out_dir
+    )
+    out = np.asarray(aligned)
+    if bgr_tiff_order:
+        out = out[..., [2, 1, 0, 3]]
+    with stage("scene_write_aligned", out.nbytes):
+        tiff_io.write_tiff(aligned_path, out)
+    olog("Aligned MSS written to %s", aligned_path)
+
+    st = np.asarray(stitched)
+    if not out_stitched:
+        out_stitched = os.path.join(
+            out_dir or os.getcwd(),
+            f"stitched_{st.shape[1]}n{BYTES_PER_PIXEL * 8}b{TIFF_FILE_EXT}",
+        )
+    with stage("scene_write_stitched", st.nbytes):
+        if os.path.splitext(out_stitched)[1].lower() in (".tiff", ".tif"):
+            tiff_io.write_tiff(out_stitched, st)
+        else:
+            raw_io.write_raw_image(out_stitched, st)
+    olog("Stitched PAN written to %s", out_stitched)
+    return aligned_path, out_stitched

@@ -441,3 +441,74 @@ def test_cli_stitch_and_exit_codes(tmp_path, rng):
     assert (
         cli.main(["stitch", "--image1", pa, "--image2", "x.TIFF", "-c", "4"]) == 2
     )
+
+
+def test_cli_scene_fused_pipeline(tmp_path, rng):
+    """`oiptpu scene`: the fused whole-scene pipeline (device_pipeline) from
+    files to ALIGNED.TIFF + stitched PAN in one run."""
+    import jax.numpy as jnp
+
+    from opticalimageprocessor_tpu import cli
+    from opticalimageprocessor_tpu.io import tiff as tiff_io
+    from opticalimageprocessor_tpu.ops import resample
+
+    band_px = PPL // 4
+    lines_mss = 320
+    lines_pan = lines_mss * 4
+    ov = 64
+    scene = rng.integers(2000, 42000, (lines_mss, band_px)).astype(np.uint16)
+    pan1 = np.clip(
+        np.rint(np.asarray(resample.upsample4_f32(jnp.asarray(
+            scene, jnp.float32)))),
+        0, 65535,
+    ).astype(np.uint16)
+    pan2 = np.roll(np.roll(pan1, 2, axis=0), ov - 3 - PPL, axis=1)
+    mss = np.stack(
+        [np.roll(scene, b % 2, axis=1) for b in range(4)], axis=1
+    ).reshape(lines_mss, PPL)
+
+    p1 = str(tmp_path / "S1.PAN.RAW")
+    p2 = str(tmp_path / "S2.PAN.RAW")
+    ms = str(tmp_path / "S1.MSS.RAW")
+    pan1.astype("<u2").tofile(p1)
+    pan2.astype("<u2").tofile(p2)
+    mss.astype("<u2").tofile(ms)
+
+    from opticalimageprocessor_tpu.models.scene import run_scene
+
+    run_scene(
+        p1, p2, ms, slices=8, fold_cols=ov, stt_sections=2,
+        threshold=0.05, stt_threshold=0.05,
+        out_dir=str(tmp_path), pixels_per_line=PPL,
+    )
+    del cli  # CLI dispatch covered by test_cli_scene_usage_errors
+    aligned = tiff_io.read_tiff(str(tmp_path / "S1.MSS.ALIGNED.TIFF"))
+    assert aligned.shape == (lines_mss, band_px, 4)
+    for ch, b in enumerate([2, 1, 0, 3]):  # disk order [2,1,0,3]
+        a = aligned[8:-8, 8:-8, ch].astype(np.float64)
+        w = scene[8:-8, 8:-8].astype(np.float64)
+        c = np.corrcoef(a.ravel(), w.ravel())[0, 1]
+        assert c > 0.99, (ch, c)
+    stitched = [
+        f for f in os.listdir(tmp_path) if f.startswith("stitched_")
+    ]
+    assert stitched, "stitched output missing"
+    st = tiff_io.read_tiff(str(tmp_path / stitched[0]))
+    assert st.shape == (lines_pan, 2 * (PPL - ov // 2))
+    # left half is PAN1's RRC'd (identity) data verbatim
+    np.testing.assert_array_equal(
+        st[:, : PPL - ov // 2], pan1[:, : PPL - ov // 2]
+    )
+
+
+def test_cli_scene_usage_errors(tmp_path, rng):
+    from opticalimageprocessor_tpu import cli
+
+    f = str(tmp_path / "x.RAW")
+    rng.integers(0, 65536, (4, 8), dtype=np.uint16).tofile(f)
+    assert cli.main(
+        ["scene", "--pan1", f, "--pan2", f, "--mss", f, "-c", "1"]
+    ) == 254
+    assert cli.main(
+        ["scene", "--pan1", "/nope.RAW", "--pan2", f, "--mss", f]
+    ) == 254
