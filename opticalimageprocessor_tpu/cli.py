@@ -114,6 +114,15 @@ def _default_action(a) -> int:
         _require_file(f, f"--rrc-msb{i}")
 
     if a.mesh:
+        # surface the host-path-only knobs loudly instead of silently
+        # dropping them (the mesh route has no RRC-PAN TIFF writer and
+        # uses fast-mode remap semantics, not the quantized parity grid)
+        if a.do_rrc4pan and a.write_rrcpan:
+            raise UsageError("--write-rrcpan is not supported with --mesh")
+        if a.coord_mode == "quantized":
+            raise UsageError(
+                "--coord-mode quantized is not supported with --mesh"
+            )
         from .models.sharded_align import run_sharded_align
 
         run_sharded_align(
@@ -260,6 +269,10 @@ def _scene(argv) -> int:
     a = p.parse_args(argv)
     if a.fold_cols < 2:
         raise UsageError("fold column value too small")
+    if not (0.0 <= a.ibc_threshold < 1.0) or not (
+        0.0 <= a.stt_threshold < 1.0
+    ):
+        raise UsageError("invalid threshold value")
     rrc_mss = (a.rrc_msb1, a.rrc_msb2, a.rrc_msb3, a.rrc_msb4)
     for opt, f in (
         ("--pan1", a.pan1), ("--pan2", a.pan2), ("--mss", a.mss),

@@ -217,6 +217,14 @@ def stt_estimate_fast(
     # keep the window height MXU-factorable (ops/fft_mxu needs composite
     # lengths; an arbitrary strip length can make lines//sections prime)
     lps = max(64, lps - lps % 64)
+    if sections * lps > lines:
+        # the host Stitcher ctor's error (stitcher.h:66-78) — without this
+        # the gap goes negative and dynamic_slice clamping silently samples
+        # duplicate windows
+        raise ValueError(
+            "PAN line count less than sections times line-per-section, "
+            "use smaller -s and/or -l value(s)"
+        )
     gap = (lines - sections * lps) // (sections + 1)
     step = gap + lps
     ow = overlap_cols - edge_cols
@@ -273,6 +281,7 @@ def make_device_pipeline(
     stt_threshold: float = IBCV_DEF_THRESHOLD,
     stt_max_delta_y: float = 0.0,
     threshold: float = IBCV_DEF_THRESHOLD,
+    prestt_row_bound: int = 8,
 ):
     """Build the jitted full device pipeline.
 
@@ -293,8 +302,13 @@ def make_device_pipeline(
 
     ``col_block``/``col_halo`` shape the remap's banded column matmul
     (128/16 measured fastest on v5e); ``col_halo`` statically bounds the
-    supported horizontal shift — |dx| <= col_halo - 2 (band shifts and
-    CMOS mounting offsets are a few pixels; raise it for exotic geometry).
+    supported horizontal shift — |dx| <= col_halo - 2 — and
+    ``prestt_row_bound`` the prestitch |dy| (the measured mounting offsets
+    enter the resample as traced values, so the static bands must cover
+    them; physical offsets are a few pixels — raise both for exotic
+    geometry).  The stt estimate clamps to those supported ranges so an
+    out-of-band estimate degrades loudly (validity counts) rather than
+    silently zeroing taps.
     """
 
     @jax.jit
@@ -318,16 +332,22 @@ def make_device_pipeline(
             ],
             axis=-1,
         )
+        # reference order: CalcSttParameters correlates the *uncorrected*
+        # strips (main.cpp:280-284 runs it before DoRRC)
         dxs, dys, _resp, n_stt = stt_estimate_fast(
-            pan1_c, pan2_c, stt_sections, stt_lines, overlap_cols,
+            pan1, pan2, stt_sections, stt_lines, overlap_cols,
             threshold=stt_threshold, max_delta_y=stt_max_delta_y,
+        )
+        dxs = jnp.clip(dxs, -(col_halo - 2.0), col_halo - 2.0)
+        dys = jnp.clip(
+            dys, -(prestt_row_bound - 2.0), prestt_row_bound - 2.0
         )
         prestt = resample.remap_band_fast_chunked(
             pan2_c,
             jnp.stack([4.0 * dxs, jnp.float32(0.0)]),
             jnp.stack([4.0 * dys, jnp.float32(0.0), jnp.float32(0.0)]),
             chunk_rows=chunk_rows,
-            row_bound=row_bound,
+            row_bound=prestt_row_bound,
             col_block=col_block,
             col_halo=col_halo,
         )

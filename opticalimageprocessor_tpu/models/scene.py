@@ -111,6 +111,9 @@ def run_scene(
     pipeline = make_device_pipeline(
         slices=slices, n_sections=sections, fold=fold_cols // 2,
         stt_sections=stt_sections,
+        # the stt windows span the physical CMOS overlap, which is what
+        # the stitch folds away (stitcher.h: stitch-overlap == fold cols)
+        overlap_cols=fold_cols,
         threshold=(
             IBCV_DEF_THRESHOLD if threshold is None else threshold
         ),

@@ -83,6 +83,21 @@ def run_sharded_align(
         )
     if mss.lines - line_offset < IBPA_MIN_PROCESSLINES:
         raise ValueError("Too few image lines left to process")
+    # same bounds the host path enforces (do_inter_band_alignment /
+    # oipshared.h IBPA_MAX_LINEOVERLAP) — an oversized overlap would
+    # otherwise trim into a negative output row count after the SPMD run
+    from ..constants import IBPA_MAX_LINEOVERLAP
+
+    if section_overlap > IBPA_MAX_LINEOVERLAP:
+        raise ValueError(
+            f"Overlap value {section_overlap} exceeds maximum allowed "
+            f"value({IBPA_MAX_LINEOVERLAP})"
+        )
+    if (
+        not keep_leading_lines
+        and mss.lines - line_offset - section_overlap <= 0
+    ):
+        raise ValueError("Too few image lines left to process")
     olog("PAN: %d lines, MSS: %d lines.", pan.lines, mss.lines)
 
     if do_rrc_pan:

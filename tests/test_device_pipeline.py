@@ -199,3 +199,16 @@ def test_pipeline_odd_strip_lengths(rng):
     )
     assert aligned.shape == (lines_pan // 4, width // 4, 4)
     assert stitched.shape == (lines_pan, 2 * (width - 32))
+
+
+def test_stt_sections_exceed_strip_raises(rng):
+    """Reference parity: too many stt sections for the strip is the host
+    Stitcher ctor's error, not silently clamped duplicate windows."""
+    import jax.numpy as jnp
+    import pytest
+
+    from opticalimageprocessor_tpu.models import device_pipeline as dp
+
+    pan = jnp.asarray(rng.integers(0, 65536, (512, 640), dtype=np.uint16))
+    with pytest.raises(ValueError, match="less than sections times"):
+        dp.stt_estimate_fast(pan, pan, sections=10, overlap_cols=32)

@@ -512,3 +512,40 @@ def test_cli_scene_usage_errors(tmp_path, rng):
     assert cli.main(
         ["scene", "--pan1", "/nope.RAW", "--pan2", f, "--mss", f]
     ) == 254
+
+
+def test_cli_mesh_unsupported_flags(tmp_path, rng):
+    """--mesh rejects host-path-only knobs loudly instead of dropping them."""
+    from opticalimageprocessor_tpu import cli
+
+    f = str(tmp_path / "m.RAW")
+    rng.integers(0, 65536, (4, 8), dtype=np.uint16).tofile(f)
+    base = ["--pan", f, "--mss", f, "--no-rrc4mss", "--mesh", "2"]
+    assert cli.main(
+        base + ["--do-rrc4pan", "--rrc-pan", f, "--write-rrcpan"]
+    ) == 254
+    assert cli.main(base + ["--coord-mode", "quantized"]) == 254
+    # scene threshold validation parity with the default command
+    assert cli.main(
+        ["scene", "--pan1", f, "--pan2", f, "--mss", f,
+         "--ibc-threshold", "1.5"]
+    ) == 254
+
+
+def test_sharded_align_overlap_validation(synthetic_scene, tmp_path):
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from opticalimageprocessor_tpu.models.sharded_align import (
+        run_sharded_align,
+    )
+
+    sc = synthetic_scene
+    with pytest.raises(ValueError, match="exceeds maximum allowed"):
+        run_sharded_align(
+            sc["pan"], sc["mss"], n_devices=8, do_rrc_mss=False,
+            section_overlap=5000, out_dir=str(tmp_path),
+            pixels_per_line=PPL,
+        )
