@@ -342,10 +342,8 @@ def make_device_pipeline(
         dys = jnp.clip(
             dys, -(prestt_row_bound - 2.0), prestt_row_bound - 2.0
         )
-        prestt = resample.remap_band_fast_chunked(
-            pan2_c,
-            jnp.stack([4.0 * dxs, jnp.float32(0.0)]),
-            jnp.stack([4.0 * dys, jnp.float32(0.0), jnp.float32(0.0)]),
+        prestt = resample.remap_const_fast_chunked(
+            pan2_c, dxs, dys,
             chunk_rows=chunk_rows,
             row_bound=prestt_row_bound,
             col_block=col_block,

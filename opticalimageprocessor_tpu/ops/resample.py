@@ -647,6 +647,67 @@ def remap_band_fast_chunked(
     return out[:rows]
 
 
+def remap_const_fast_chunked(
+    src: jax.Array,
+    dx: jax.Array,
+    dy: jax.Array,
+    chunk_rows: int,
+    row_bound: int = ROW_OFF_BOUND_FAST,
+    col_block: int | None = None,
+    col_halo: int | None = None,
+) -> jax.Array:
+    """Constant-translation fast remap (the prestitch case) with *traced*
+    scalar ``dx``/``dy``.
+
+    Same maps as :func:`remap_band_fast_chunked` with
+    cX = [4*dx, 0] / cY = [4*dy, 0, 0], but the vertical cubic exploits the
+    row-constant shift: instead of ``2*row_bound + 4`` masked MAC passes it
+    takes the 4 taps directly via traced-start ``dynamic_slice`` — the cost
+    no longer grows with the supported |dy| bound.  ``row_bound`` only
+    sizes the halo (callers clamp |dy| <= row_bound - 2).
+    """
+    f32 = jnp.float32
+    rows, width = src.shape
+    dx = jnp.asarray(dx, f32)
+    dy = jnp.asarray(dy, f32)
+    chunk_rows = min(chunk_rows, rows)
+    n_chunks = -(-rows // chunk_rows)
+    pad_rows = n_chunks * chunk_rows - rows
+    if pad_rows:
+        src = jnp.pad(src, ((0, pad_rows), (0, 0)))
+    col_matrix = _col_interp_matrix(
+        jnp.stack([f32(MSS_BANDS) * dx, f32(0.0)]), width,
+        col_block, col_halo,
+    )
+    iy0 = jnp.floor(dy)
+    fy = dy - iy0
+    iy0 = iy0.astype(jnp.int32)
+    w0, w1, w2, w3 = _cubic_weights_f32(fy)
+
+    halo = row_bound + 2
+    padded_src = jnp.pad(src, ((halo, halo), (0, 0)))
+
+    def one(i):
+        blk = jax.lax.dynamic_slice_in_dim(
+            padded_src, i * chunk_rows, chunk_rows + 2 * halo, 0
+        )
+        colg = _col_interp_apply(blk.astype(f32), col_matrix)
+        # output row y reads colg rows y + halo + iy0 + (a - 1), a in 0..3;
+        # the clamp contract keeps the traced start in range
+        acc = jnp.zeros((chunk_rows, width), f32)
+        for a, wa in enumerate((w0, w1, w2, w3)):
+            tap = jax.lax.dynamic_slice_in_dim(
+                colg, halo + iy0 + a - 1, chunk_rows, 0
+            )
+            acc = acc + tap * wa
+        return jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
+
+    out = jax.lax.map(one, jnp.arange(n_chunks)).reshape(
+        n_chunks * chunk_rows, width
+    )
+    return out[:rows]
+
+
 def remap_polynomial_u16(
     src: jax.Array, coeff_x, coeff_y, quantized_coords: bool = False
 ) -> jax.Array:

@@ -97,3 +97,30 @@ def test_remap_constant_shift_matches_oracle(dx, dy, rng):
     # see test_remap_polynomial_matches_oracle: CPU FMA fusion, <= 1 DN
     assert diff.max() <= 1, f"max {diff.max()}"
     assert (diff > 0).mean() < 0.02, f"count {(diff>0).sum()}"
+
+
+def test_remap_const_fast_matches_generic(rng):
+    """The constant-shift fast remap (traced-scalar dx/dy, 4 direct row
+    taps) equals the generic polynomial fast path on the same translation."""
+    import jax.numpy as jnp
+
+    from opticalimageprocessor_tpu.ops import resample
+
+    src = jnp.asarray(rng.integers(0, 65536, (300, 512), dtype=np.uint16))
+    for dx, dy in ((-3.2, 2.1), (0.0, 0.0), (5.7, -4.9)):
+        want = np.asarray(
+            resample.remap_band_fast_chunked(
+                src,
+                jnp.asarray([4.0 * dx, 0.0], jnp.float32),
+                jnp.asarray([4.0 * dy, 0.0, 0.0], jnp.float32),
+                chunk_rows=64, row_bound=8,
+            )
+        )
+        got = np.asarray(
+            resample.remap_const_fast_chunked(
+                src, jnp.float32(dx), jnp.float32(dy),
+                chunk_rows=64, row_bound=8,
+            )
+        )
+        d = np.abs(want.astype(np.int32) - got.astype(np.int32))
+        assert d.max() <= 1, (dx, dy, d.max())
