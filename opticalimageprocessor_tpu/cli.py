@@ -254,7 +254,19 @@ def _scene(argv) -> int:
     p.add_argument("--rrc-pan2", default="", help="RRC CSV for PAN2")
     for b in range(1, 5):
         p.add_argument(f"--rrc-msb{b}", default="",
-                       help=f"RRC CSV for MSS band #{b}")
+                       help=f"RRC CSV for CMOS1 MSS band #{b}")
+    p.add_argument(
+        "--mss2", default="",
+        help=(
+            "CMOS2 MSS raw image: also align it against the prestitched "
+            "PAN2 and stitch the MSS pair (the full sample-task workflow)"
+        ),
+    )
+    for b in range(1, 5):
+        p.add_argument(f"--rrc-m2b{b}", default="",
+                       help=f"RRC CSV for CMOS2 MSS band #{b}")
+    p.add_argument("--out-mss", default="",
+                   help="stitched MSS output TIFF (with --mss2)")
     p.add_argument("--slices", type=int, default=C.IBCV_DEF_SLICES)
     p.add_argument("--ibc-sections", type=int, default=0,
                    help="registration sections (0 = auto from strip length)")
@@ -274,10 +286,15 @@ def _scene(argv) -> int:
     ):
         raise UsageError("invalid threshold value")
     rrc_mss = (a.rrc_msb1, a.rrc_msb2, a.rrc_msb3, a.rrc_msb4)
+    rrc_mss2 = (a.rrc_m2b1, a.rrc_m2b2, a.rrc_m2b3, a.rrc_m2b4)
+    if any(rrc_mss2) and not a.mss2:
+        raise UsageError("--rrc-m2b* needs --mss2")
     for opt, f in (
         ("--pan1", a.pan1), ("--pan2", a.pan2), ("--mss", a.mss),
+        ("--mss2", a.mss2),
         ("--rrc-pan1", a.rrc_pan1), ("--rrc-pan2", a.rrc_pan2),
         *[(f"--rrc-msb{i}", f) for i, f in enumerate(rrc_mss, 1)],
+        *[(f"--rrc-m2b{i}", f) for i, f in enumerate(rrc_mss2, 1)],
     ):
         _require_file(f, opt)
 
@@ -285,11 +302,12 @@ def _scene(argv) -> int:
 
     run_scene(
         a.pan1, a.pan2, a.mss, a.rrc_pan1, a.rrc_pan2, rrc_mss,
+        mss2_file=a.mss2, rrc_mss2_files=rrc_mss2,
         slices=a.slices, sections=a.ibc_sections or None,
         fold_cols=a.fold_cols, stt_sections=a.stt_sections,
         threshold=a.ibc_threshold, stt_threshold=a.stt_threshold,
         stt_max_delta_y=a.stt_maxdeltay,
-        out_stitched=a.out, out_dir=a.out_dir,
+        out_stitched=a.out, out_stitched_mss=a.out_mss, out_dir=a.out_dir,
     )
     return 0
 

@@ -282,6 +282,7 @@ def make_device_pipeline(
     stt_max_delta_y: float = 0.0,
     threshold: float = IBCV_DEF_THRESHOLD,
     prestt_row_bound: int = 8,
+    return_prestt: bool = False,
 ):
     """Build the jitted full device pipeline.
 
@@ -352,6 +353,52 @@ def make_device_pipeline(
         stitched = jnp.concatenate(
             [pan1_c[:, : pan1_c.shape[1] - fold], prestt[:, fold:]], axis=1
         )
+        if return_prestt:
+            return aligned, stitched, prestt, n_valid, n_stt
         return aligned, stitched, n_valid, n_stt
 
     return pipeline
+
+
+def make_mss_align(
+    slices: int = 10,
+    n_sections: int | None = None,
+    threshold: float = IBCV_DEF_THRESHOLD,
+    chunk_rows: int = 512,
+    row_bound: int = 3,
+    col_block: int = 128,
+    col_halo: int = 16,
+):
+    """Build a jitted MSS-against-PAN align step (RRC + registration +
+    resample) for an already-corrected PAN raster — the second half of the
+    full scene workflow, where CMOS2's MSS aligns against the *prestitched*
+    PAN2 (sample-task.sh step 3.2 registers against S1_PAN2 =
+    ``*.RRC.PRESTT.RAW``).
+
+    signature: (pan_c u16 (L, W), mss u16 (4, L/4, W/4),
+                mss_params (4, 6, W/4) f32)
+             -> (aligned u16 (L/4, W/4, 4), n_valid (4,) i32)
+    """
+
+    @jax.jit
+    def align(pan_c, mss, mss_params):
+        mss_c = jnp.stack(
+            [rrc.rrc_apply(mss[i], mss_params[i]) for i in range(MSS_BANDS)]
+        )
+        coeffs, n_valid = register_fast(
+            pan_c, mss_c, slices, n_sections, threshold=threshold
+        )
+        aligned = jnp.stack(
+            [
+                resample.remap_band_fast_chunked(
+                    mss_c[i], coeffs[i][0], coeffs[i][1],
+                    chunk_rows=chunk_rows, row_bound=row_bound,
+                    col_block=col_block, col_halo=col_halo,
+                )
+                for i in range(MSS_BANDS)
+            ],
+            axis=-1,
+        )
+        return aligned, n_valid
+
+    return align

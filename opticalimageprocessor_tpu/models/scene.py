@@ -51,6 +51,8 @@ def run_scene(
     rrc_pan1: str = "",
     rrc_pan2: str = "",
     rrc_mss_files: tuple[str, str, str, str] | None = None,
+    mss2_file: str = "",
+    rrc_mss2_files: tuple[str, str, str, str] | None = None,
     slices: int = 10,
     sections: int | None = None,
     fold_cols: int = 200,
@@ -59,11 +61,21 @@ def run_scene(
     stt_threshold: float | None = None,
     stt_max_delta_y: float = 0.0,
     out_stitched: str = "",
+    out_stitched_mss: str = "",
     out_dir: str | None = None,
     pixels_per_line: int = PIXELS_PER_LINE,
     bgr_tiff_order: bool = True,
 ):
-    """Run the fused scene pipeline; returns (aligned_path, stitched_path)."""
+    """Run the fused scene pipeline; returns a dict of output paths
+    (``aligned``, ``stitched``; with ``mss2_file`` also ``aligned2`` and
+    ``stitched_mss``).
+
+    With ``mss2_file`` the run covers the reference's full
+    ``DOC/sample-task.sh`` workflow: CMOS2's MSS registers and aligns
+    against the *prestitched* PAN2 (the sample task's step 3.2 uses
+    ``S1_PAN2 = *.RRC.PRESTT.RAW``), and the two ALIGNED rasters stitch
+    into one wide MSS image with ``fold_cols/4`` fold columns (the MSS
+    bands are 1/4 the PAN resolution, sample-task.sh FOLDCOL_MSS)."""
     import jax
     import jax.numpy as jnp
 
@@ -108,24 +120,29 @@ def run_scene(
 
     from ..constants import IBCV_DEF_THRESHOLD
 
+    ibc_thr = IBCV_DEF_THRESHOLD if threshold is None else threshold
     pipeline = make_device_pipeline(
         slices=slices, n_sections=sections, fold=fold_cols // 2,
         stt_sections=stt_sections,
         # the stt windows span the physical CMOS overlap, which is what
         # the stitch folds away (stitcher.h: stitch-overlap == fold cols)
         overlap_cols=fold_cols,
-        threshold=(
-            IBCV_DEF_THRESHOLD if threshold is None else threshold
-        ),
+        threshold=ibc_thr,
         stt_threshold=(
             IBCV_DEF_THRESHOLD if stt_threshold is None else stt_threshold
         ),
         stt_max_delta_y=stt_max_delta_y,
+        return_prestt=bool(mss2_file),
     )
     with stage("scene_pipeline", p1.nbytes * 2 + ms.nbytes):
-        aligned, stitched, n_valid, n_stt = pipeline(
-            pan1, pan2, mss, pan1_params, pan2_params, mss_params
-        )
+        if mss2_file:
+            aligned, stitched, prestt, n_valid, n_stt = pipeline(
+                pan1, pan2, mss, pan1_params, pan2_params, mss_params
+            )
+        else:
+            aligned, stitched, n_valid, n_stt = pipeline(
+                pan1, pan2, mss, pan1_params, pan2_params, mss_params
+            )
         jax.block_until_ready(stitched)
     check_registration_valid(np.asarray(n_valid))
     check_stt_valid(np.asarray(n_stt))
@@ -152,4 +169,62 @@ def run_scene(
         else:
             raw_io.write_raw_image(out_stitched, st)
     olog("Stitched PAN written to %s", out_stitched)
-    return aligned_path, out_stitched
+    outs = {"aligned": aligned_path, "stitched": out_stitched}
+    if not mss2_file:
+        return outs
+
+    # ---- CMOS2 MSS: align against the prestitched PAN2, then stitch the
+    # two aligned rasters (sample-task.sh steps 3.2 + 4)
+    from .device_pipeline import make_mss_align
+
+    ms2 = raw_io.RawStrip(mss2_file, pixels_per_line)
+    if p2.nbytes != MSS_BANDS * ms2.nbytes:
+        raise ValueError(
+            "PAN file size does not match MSS file size: PAN file should "
+            f"be {MSS_BANDS}x as large as MSS file"
+        )
+    with stage("scene_load_mss2", ms2.nbytes):
+        mss2 = jnp.asarray(
+            np.asarray(ms2)
+            .reshape(ms2.lines, MSS_BANDS, band_px)
+            .transpose(1, 0, 2)
+        )
+    mss2_params = jnp.asarray(
+        np.stack(
+            [_params(f, band_px) for f in (rrc_mss2_files or ("",) * 4)]
+        )
+    )
+    align2 = make_mss_align(
+        slices=slices, n_sections=sections, threshold=ibc_thr
+    )
+    with stage("scene_align_mss2", ms2.nbytes):
+        aligned2, n_valid2 = align2(prestt, mss2, mss2_params)
+        jax.block_until_ready(aligned2)
+    check_registration_valid(np.asarray(n_valid2))
+
+    aligned2_path = build_output_file_path(
+        mss2_file, IBPA_STEM_EXT, TIFF_FILE_EXT, out_dir=out_dir
+    )
+    out2 = np.asarray(aligned2)
+    if bgr_tiff_order:
+        out2 = out2[..., [2, 1, 0, 3]]
+    with stage("scene_write_aligned2", out2.nbytes):
+        tiff_io.write_tiff(aligned2_path, out2)
+    olog("Aligned MSS (CMOS2) written to %s", aligned2_path)
+
+    # stitch the aligned MSS pair: MSS fold columns are PAN's / 4
+    # (sample-task.sh FOLDCOL_MSS), each side losing half at the seam
+    foldm_half = max(1, fold_cols // MSS_BANDS // 2)
+    half = band_px - foldm_half
+    stm = np.concatenate([out[:, :half], out2[:, foldm_half:]], axis=1)
+    if not out_stitched_mss:
+        out_stitched_mss = os.path.join(
+            out_dir or os.getcwd(), f"stitched-MSS{TIFF_FILE_EXT}"
+        )
+    with stage("scene_write_stitched_mss", stm.nbytes):
+        tiff_io.write_tiff(out_stitched_mss, stm)
+    olog("Stitched MSS written to %s", out_stitched_mss)
+    outs.update(
+        {"aligned2": aligned2_path, "stitched_mss": out_stitched_mss}
+    )
+    return outs

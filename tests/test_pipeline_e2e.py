@@ -473,11 +473,19 @@ def test_cli_scene_fused_pipeline(tmp_path, rng):
     pan1.astype("<u2").tofile(p1)
     pan2.astype("<u2").tofile(p2)
     mss.astype("<u2").tofile(ms)
+    # CMOS2's MSS sees the ground under PAN2: with the circular-roll pan2
+    # construction that is the scene rolled by (ov - PPL)/4 band columns
+    scene2 = np.roll(scene, (ov - PPL) // 4, axis=1)
+    mss2 = np.stack(
+        [np.roll(scene2, b % 2, axis=1) for b in range(4)], axis=1
+    ).reshape(lines_mss, PPL)
+    ms2 = str(tmp_path / "S2.MSS.RAW")
+    mss2.astype("<u2").tofile(ms2)
 
     from opticalimageprocessor_tpu.models.scene import run_scene
 
-    run_scene(
-        p1, p2, ms, slices=8, fold_cols=ov, stt_sections=2,
+    outs = run_scene(
+        p1, p2, ms, mss2_file=ms2, slices=8, fold_cols=ov, stt_sections=2,
         threshold=0.05, stt_threshold=0.05,
         out_dir=str(tmp_path), pixels_per_line=PPL,
     )
@@ -499,6 +507,18 @@ def test_cli_scene_fused_pipeline(tmp_path, rng):
     np.testing.assert_array_equal(
         st[:, : PPL - ov // 2], pan1[:, : PPL - ov // 2]
     )
+
+    # --- CMOS2 MSS: aligned against the prestitched PAN2 + MSS stitch
+    a2 = tiff_io.read_tiff(outs["aligned2"])
+    assert a2.shape == (lines_mss, BAND_PX, 4)
+    for ch in range(4):
+        a = a2[8:-8, 8:-8, ch].astype(np.float64)
+        w = scene2[8:-8, 8:-8].astype(np.float64)
+        c = np.corrcoef(a.ravel(), w.ravel())[0, 1]
+        assert c > 0.98, (ch, c)
+    stm = tiff_io.read_tiff(outs["stitched_mss"])
+    foldm_half = ov // 4 // 2
+    assert stm.shape == (lines_mss, 2 * (BAND_PX - foldm_half), 4)
 
 
 def test_cli_scene_usage_errors(tmp_path, rng):
