@@ -87,3 +87,16 @@ def save_rrc_params(path: str, params: np.ndarray) -> None:
         f.write("0\n")
         for k, b in params:
             f.write(f"{float(k)!r} , {float(b)!r}\n")
+
+
+def load_split_params(path: str, columns: int) -> "np.ndarray":
+    """Load an RRC CSV and pre-split it for the device kernel
+    (ops.rrc.split_rrc_params); an empty ``path`` yields identity
+    parameters (k=1, b=0 — a bit-exact no-op through the RRC math).
+    Shared by the scene/sharded pipelines' optional-RRC handling."""
+    from ..ops.rrc import split_rrc_params
+
+    if not path:
+        return split_rrc_params(np.ones(columns), np.zeros(columns))
+    kb = load_rrc_params(path, columns)
+    return split_rrc_params(kb[:, 0], kb[:, 1])

@@ -87,3 +87,16 @@ def write_raw_image(path: str, image: np.ndarray) -> None:
     with stage(f"write_raw:{os.path.basename(path)}", image.nbytes):
         with open(path, "wb") as f:
             f.write(image.tobytes())
+
+
+def check_pan_mss_sizes(pan: RawStrip, mss: RawStrip) -> None:
+    """CheckFilesAttributes size relation (preproc.h:565-567): the PAN strip
+    must be exactly MSS_BANDS x the MSS strip.  (Whole-line divisibility is
+    enforced by RawStrip itself at construction.)"""
+    from ..constants import MSS_BANDS
+
+    if pan.nbytes != MSS_BANDS * mss.nbytes:
+        raise ValueError(
+            "PAN file size does not match MSS file size: PAN file should "
+            f"be {MSS_BANDS}x as large as MSS file"
+        )

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import (
-    BYTES_PER_PIXEL,
     CORRELATION_LINES,
     IBCV_DEF_SECTIONS,
     IBCV_DEF_SLICES,
@@ -48,7 +47,7 @@ from ..constants import (
     TIFF_FILE_EXT,
 )
 from ..formats.naming import build_output_file_path
-from ..formats.rrc_csv import load_rrc_params
+from ..formats.rrc_csv import load_split_params
 from ..io import raw as raw_io
 from ..io import tiff as tiff_io
 from ..ops import phasecorr, polyfit, resample, rrc
@@ -95,16 +94,7 @@ class PreProcessor:
 
     # -- stage 1: geometry invariants (preproc.h:552-572) -------------------
     def _check_files_attributes(self):
-        if self.pan.nbytes != MSS_BANDS * self.mss.nbytes:
-            raise ValueError(
-                "PAN file size does not match MSS file size: PAN file should "
-                f"be {MSS_BANDS}x as large as MSS file"
-            )
-        if self.pan.nbytes % (self.pixels_per_line * BYTES_PER_PIXEL) != 0:
-            raise ValueError(
-                "PAN file size invalid: should be multiplies of "
-                f"{self.pixels_per_line * BYTES_PER_PIXEL}"
-            )
+        raw_io.check_pan_mss_sizes(self.pan, self.mss)
         self.lines_pan = self.pan.lines
         self.lines_mss = self.mss.lines
         olog("PAN: %d lines, MSS: %d lines.", self.lines_pan, self.lines_mss)
@@ -122,8 +112,9 @@ class PreProcessor:
         if do_rrc_pan:
             if not self.rrc_pan_file:
                 raise ValueError("RRC parameter file of PAN needed")
-            kb = load_rrc_params(self.rrc_pan_file, self.pixels_per_line)
-            params = jnp.asarray(rrc.split_rrc_params(kb[:, 0], kb[:, 1]))
+            params = jnp.asarray(
+                load_split_params(self.rrc_pan_file, self.pixels_per_line)
+            )
             with stage("rrc_pan", pan.nbytes):
                 pan = np.asarray(rrc.rrc_apply(jnp.asarray(pan), params))
         self._pan_rrc = pan
@@ -140,8 +131,9 @@ class PreProcessor:
             ):
                 raise ValueError("RRC parameter file of all MSS Bands needed")
             for b in range(MSS_BANDS):
-                kb = load_rrc_params(self.rrc_mss_files[b], self.band_px)
-                params = jnp.asarray(rrc.split_rrc_params(kb[:, 0], kb[:, 1]))
+                params = jnp.asarray(
+                    load_split_params(self.rrc_mss_files[b], self.band_px)
+                )
                 with stage(f"rrc_mss_b{b}", bands[b].nbytes):
                     bands[b] = np.asarray(
                         rrc.rrc_apply(jnp.asarray(bands[b]), params)

@@ -24,24 +24,17 @@ import numpy as np
 
 from ..constants import (
     BYTES_PER_PIXEL,
+    IBCV_DEF_THRESHOLD,
     IBPA_STEM_EXT,
     MSS_BANDS,
     PIXELS_PER_LINE,
     TIFF_FILE_EXT,
 )
 from ..formats.naming import build_output_file_path
-from ..formats.rrc_csv import load_rrc_params
+from ..formats.rrc_csv import load_split_params
 from ..io import raw as raw_io
 from ..io import tiff as tiff_io
-from ..ops import rrc
 from ..utils.logging import olog, stage
-
-
-def _params(path: str, cols: int) -> np.ndarray:
-    if not path:
-        return rrc.split_rrc_params(np.ones(cols), np.zeros(cols))
-    kb = load_rrc_params(path, cols)
-    return rrc.split_rrc_params(kb[:, 0], kb[:, 1])
 
 
 def run_scene(
@@ -57,8 +50,8 @@ def run_scene(
     sections: int | None = None,
     fold_cols: int = 200,
     stt_sections: int = 10,
-    threshold: float | None = None,
-    stt_threshold: float | None = None,
+    threshold: float = IBCV_DEF_THRESHOLD,
+    stt_threshold: float = IBCV_DEF_THRESHOLD,
     stt_max_delta_y: float = 0.0,
     out_stitched: str = "",
     out_stitched_mss: str = "",
@@ -91,46 +84,40 @@ def run_scene(
     ms = raw_io.RawStrip(mss_file, pixels_per_line)
     if p1.nbytes != p2.nbytes:
         raise ValueError("PAN1 size doesn't match PAN2 size")
-    if p1.nbytes != MSS_BANDS * ms.nbytes:
-        raise ValueError(
-            "PAN file size does not match MSS file size: PAN file should "
-            f"be {MSS_BANDS}x as large as MSS file"
-        )
-    if p1.nbytes % (pixels_per_line * BYTES_PER_PIXEL) != 0:
-        raise ValueError(
-            "PAN file size invalid: should be multiplies of "
-            f"{pixels_per_line * BYTES_PER_PIXEL}"
-        )
+    raw_io.check_pan_mss_sizes(p1, ms)
     olog("Scene: PAN %d lines, MSS %d lines.", p1.lines, ms.lines)
+
+    def load_bands(strip):
+        # raw MSS line = 4 contiguous band segments; bands to leading axis
+        return jnp.asarray(
+            np.asarray(strip)
+            .reshape(strip.lines, MSS_BANDS, band_px)
+            .transpose(1, 0, 2)
+        )
+
+    def band_params(files):
+        return jnp.asarray(
+            np.stack(
+                [load_split_params(f, band_px) for f in files or ("",) * 4]
+            )
+        )
 
     with stage("scene_load", p1.nbytes * 2 + ms.nbytes):
         pan1 = jnp.asarray(np.asarray(p1))
         pan2 = jnp.asarray(np.asarray(p2))
-        mss = jnp.asarray(
-            np.asarray(ms)
-            .reshape(ms.lines, MSS_BANDS, band_px)
-            .transpose(1, 0, 2)
-        )
-    pan1_params = jnp.asarray(_params(rrc_pan1, pixels_per_line))
-    pan2_params = jnp.asarray(_params(rrc_pan2, pixels_per_line))
-    mss_files = rrc_mss_files or ("", "", "", "")
-    mss_params = jnp.asarray(
-        np.stack([_params(f, band_px) for f in mss_files])
-    )
+        mss = load_bands(ms)
+    pan1_params = jnp.asarray(load_split_params(rrc_pan1, pixels_per_line))
+    pan2_params = jnp.asarray(load_split_params(rrc_pan2, pixels_per_line))
+    mss_params = band_params(rrc_mss_files)
 
-    from ..constants import IBCV_DEF_THRESHOLD
-
-    ibc_thr = IBCV_DEF_THRESHOLD if threshold is None else threshold
     pipeline = make_device_pipeline(
         slices=slices, n_sections=sections, fold=fold_cols // 2,
         stt_sections=stt_sections,
         # the stt windows span the physical CMOS overlap, which is what
         # the stitch folds away (stitcher.h: stitch-overlap == fold cols)
         overlap_cols=fold_cols,
-        threshold=ibc_thr,
-        stt_threshold=(
-            IBCV_DEF_THRESHOLD if stt_threshold is None else stt_threshold
-        ),
+        threshold=threshold,
+        stt_threshold=stt_threshold,
         stt_max_delta_y=stt_max_delta_y,
         return_prestt=bool(mss2_file),
     )
@@ -178,24 +165,12 @@ def run_scene(
     from .device_pipeline import make_mss_align
 
     ms2 = raw_io.RawStrip(mss2_file, pixels_per_line)
-    if p2.nbytes != MSS_BANDS * ms2.nbytes:
-        raise ValueError(
-            "PAN file size does not match MSS file size: PAN file should "
-            f"be {MSS_BANDS}x as large as MSS file"
-        )
+    raw_io.check_pan_mss_sizes(p2, ms2)
     with stage("scene_load_mss2", ms2.nbytes):
-        mss2 = jnp.asarray(
-            np.asarray(ms2)
-            .reshape(ms2.lines, MSS_BANDS, band_px)
-            .transpose(1, 0, 2)
-        )
-    mss2_params = jnp.asarray(
-        np.stack(
-            [_params(f, band_px) for f in (rrc_mss2_files or ("",) * 4)]
-        )
-    )
+        mss2 = load_bands(ms2)
+    mss2_params = band_params(rrc_mss2_files)
     align2 = make_mss_align(
-        slices=slices, n_sections=sections, threshold=ibc_thr
+        slices=slices, n_sections=sections, threshold=threshold
     )
     with stage("scene_align_mss2", ms2.nbytes):
         aligned2, n_valid2 = align2(prestt, mss2, mss2_params)

@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..constants import (
-    BYTES_PER_PIXEL,
+    IBPA_MAX_LINEOVERLAP,
     IBPA_MIN_PROCESSLINES,
     IBPA_STEM_EXT,
     MSS_BANDS,
@@ -29,17 +29,12 @@ from ..constants import (
     TIFF_FILE_EXT,
 )
 from ..formats.naming import build_output_file_path
-from ..formats.rrc_csv import load_rrc_params
+from ..formats.rrc_csv import load_split_params
 from ..io import raw as raw_io
 from ..io import tiff as tiff_io
-from ..ops import rrc
 from ..parallel.mesh import LINE_AXIS, line_mesh
 from ..parallel.sharded import make_align_step
 from ..utils.logging import olog, stage
-
-
-def _identity_params(n: int) -> np.ndarray:
-    return rrc.split_rrc_params(np.ones(n), np.zeros(n))
 
 
 def run_sharded_align(
@@ -71,23 +66,12 @@ def run_sharded_align(
     pan = raw_io.RawStrip(pan_file, pixels_per_line)
     mss = raw_io.RawStrip(mss_file, pixels_per_line)
     # geometry invariants (CheckFilesAttributes, preproc.h:552-572)
-    if pan.nbytes != MSS_BANDS * mss.nbytes:
-        raise ValueError(
-            "PAN file size does not match MSS file size: PAN file should "
-            f"be {MSS_BANDS}x as large as MSS file"
-        )
-    if pan.nbytes % (pixels_per_line * BYTES_PER_PIXEL) != 0:
-        raise ValueError(
-            "PAN file size invalid: should be multiplies of "
-            f"{pixels_per_line * BYTES_PER_PIXEL}"
-        )
+    raw_io.check_pan_mss_sizes(pan, mss)
     if mss.lines - line_offset < IBPA_MIN_PROCESSLINES:
         raise ValueError("Too few image lines left to process")
     # same bounds the host path enforces (do_inter_band_alignment /
     # oipshared.h IBPA_MAX_LINEOVERLAP) — an oversized overlap would
     # otherwise trim into a negative output row count after the SPMD run
-    from ..constants import IBPA_MAX_LINEOVERLAP
-
     if section_overlap > IBPA_MAX_LINEOVERLAP:
         raise ValueError(
             f"Overlap value {section_overlap} exceeds maximum allowed "
@@ -100,26 +84,23 @@ def run_sharded_align(
         raise ValueError("Too few image lines left to process")
     olog("PAN: %d lines, MSS: %d lines.", pan.lines, mss.lines)
 
-    if do_rrc_pan:
-        if not rrc_pan_file:
-            raise ValueError("RRC parameter file of PAN needed")
-        kb = load_rrc_params(rrc_pan_file, pixels_per_line)
-        pan_params = rrc.split_rrc_params(kb[:, 0], kb[:, 1])
-    else:
-        pan_params = _identity_params(pixels_per_line)
-    if do_rrc_mss:
-        if not rrc_mss_files or any(not f for f in rrc_mss_files):
-            raise ValueError("RRC parameter file of all MSS Bands needed")
-        mss_params = np.stack(
-            [
-                rrc.split_rrc_params(
-                    *load_rrc_params(rrc_mss_files[b], band_px).T
-                )
-                for b in range(MSS_BANDS)
-            ]
-        )
-    else:
-        mss_params = np.stack([_identity_params(band_px)] * MSS_BANDS)
+    if do_rrc_pan and not rrc_pan_file:
+        raise ValueError("RRC parameter file of PAN needed")
+    pan_params = load_split_params(
+        rrc_pan_file if do_rrc_pan else "", pixels_per_line
+    )
+    if do_rrc_mss and (
+        not rrc_mss_files or any(not f for f in rrc_mss_files)
+    ):
+        raise ValueError("RRC parameter file of all MSS Bands needed")
+    mss_params = np.stack(
+        [
+            load_split_params(
+                rrc_mss_files[b] if do_rrc_mss else "", band_px
+            )
+            for b in range(MSS_BANDS)
+        ]
+    )
 
     if n_devices and len(jax.devices()) < n_devices:
         raise RuntimeError(

@@ -32,9 +32,8 @@ from ..constants import (
     STT_DEF_PHCTHRHLD,
 )
 from ..formats.naming import build_output_file_path
-from ..formats.rrc_csv import load_rrc_params
+from ..formats.rrc_csv import load_split_params
 from ..io import raw as raw_io
-from ..ops import rrc
 from ..parallel.mesh import LINE_AXIS, line_mesh
 from ..parallel.sharded import make_prestitch_step
 from ..utils.logging import olog, stage
@@ -134,8 +133,7 @@ def run_sharded_prestitch(
         ):
             if not par:
                 raise ValueError("RRC parameter file needed")
-            kb = load_rrc_params(par, pixels_per_line)
-            params = np.asarray(rrc.split_rrc_params(kb[:, 0], kb[:, 1]))
+            params = np.asarray(load_split_params(par, pixels_per_line))
             corrected = rrc_fn(arr, params)
             dst = build_output_file_path(
                 src_path, RRC_STEM_EXT, out_dir=out_dir

@@ -37,7 +37,7 @@ from ..constants import (
     TIFF_FILE_EXT,
 )
 from ..formats.naming import build_output_file_path
-from ..formats.rrc_csv import load_rrc_params
+from ..formats.rrc_csv import load_split_params
 from ..io import raw as raw_io
 from ..io import tiff as tiff_io
 from ..ops import phasecorr, resample, rrc
@@ -216,8 +216,9 @@ class Stitcher:
             (self.pan1, self.rrc1, self.rrc_file_pan1),
             (self.pan2, self.rrc2, self.rrc_file_pan2),
         ):
-            kb = load_rrc_params(par, self.pixels_per_line)
-            params = jnp.asarray(rrc.split_rrc_params(kb[:, 0], kb[:, 1]))
+            params = jnp.asarray(
+                load_split_params(par, self.pixels_per_line)
+            )
             strip = raw_io.RawStrip(src, self.pixels_per_line)
             writer = raw_io.RawStripWriter(dst, self.pixels_per_line)
             with stage(f"rrc:{os.path.basename(src)}", strip.nbytes):
