@@ -27,3 +27,18 @@ oiptpu stitch --image1 CMOS1.PAN.RRC.RAW --image2 CMOS2.PAN.RRC.PRESTT.RAW \
     -o FULL.PAN.STT.RAW -c 400
 # oiptpu stitch --image1 L.ALIGNED.TIFF --image2 R.ALIGNED.TIFF \
 #     -o FULL.MSS.TIFF -c 400 -g -m 3,2,1,4
+
+# --- or: the whole scene in fused device programs (fast mode, one run) ---
+# oiptpu scene \
+#     --pan1 CMOS1.PAN.RAW --pan2 CMOS2.PAN.RAW \
+#     --mss CMOS1.MSS.RAW  --mss2 CMOS2.MSS.RAW \
+#     --rrc-pan1 rrc_pan1.txt --rrc-pan2 rrc_pan2.txt \
+#     --rrc-msb1 rrc_b1.txt --rrc-msb2 rrc_b2.txt \
+#     --rrc-msb3 rrc_b3.txt --rrc-msb4 rrc_b4.txt \
+#     --rrc-m2b1 rrc2_b1.txt --rrc-m2b2 rrc2_b2.txt \
+#     --rrc-m2b3 rrc2_b3.txt --rrc-m2b4 rrc2_b4.txt \
+#     -c 200 -o FULL.PAN.STT.TIFF --out-mss FULL.MSS.TIFF
+
+# --- or: SPMD over an N-chip mesh (align and prestitch support --mesh) ---
+# oiptpu prestitch --mesh 8 ...
+# oiptpu --mesh 8 --pan ... --mss ...
