@@ -134,3 +134,28 @@ def test_image_frame_roundtrip(rng):
     assert m.z_ratio == aos.IMGSIG_ZRTO_NONE
     assert m.image_dwords * 4 == 40 * aos.SUB_IMAGE_BYTES
     assert int(m.sub_image_dwords.sum()) == m.image_dwords
+
+
+def test_load_split_params(tmp_path):
+    """load_split_params: identity on empty path; loads+splits a CSV; the
+    split pieces recompose to the float64 originals."""
+    from opticalimageprocessor_tpu.formats import rrc_csv
+
+    ident = rrc_csv.load_split_params("", 16)
+    assert ident.shape == (6, 16)
+    # k pieces sum to 1, b pieces to 0
+    np.testing.assert_allclose(ident[0] + ident[1] + ident[2] + ident[3], 1.0)
+    np.testing.assert_allclose(ident[4] + ident[5], 0.0)
+
+    k = np.array([0.987654321, 1.123456789])
+    b = np.array([-3.14159265, 42.4242424242])
+    p = str(tmp_path / "p.rrc")
+    rrc_csv.save_rrc_params(p, np.stack([k, b], axis=1))
+    got = rrc_csv.load_split_params(p, 2)
+    k_rec = (
+        got[0].astype(np.float64) + got[1].astype(np.float64)
+        + got[2].astype(np.float64) + got[3].astype(np.float64)
+    )
+    b_rec = got[4].astype(np.float64) + got[5].astype(np.float64)
+    np.testing.assert_allclose(k_rec, k, rtol=1e-14)
+    np.testing.assert_allclose(b_rec, b, rtol=1e-12)

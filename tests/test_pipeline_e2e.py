@@ -571,3 +571,48 @@ def test_sharded_align_overlap_validation(synthetic_scene, tmp_path):
             section_overlap=5000, out_dir=str(tmp_path),
             pixels_per_line=PPL,
         )
+
+
+def test_auxsep_offset_restart(tmp_path, rng):
+    """`auxsep -O` parity: restarting the AOS scan at a page-aligned byte
+    offset skips the leading frames (the reference's partial-resume knob,
+    main.cpp:102 / aux_separator.h:197-201); a non-aligned offset is
+    rounded down to the page like the reference."""
+    from opticalimageprocessor_tpu.models.auxsep import AuxSeparator
+
+    n_frames = 3
+    pan = rng.integers(0, 65536, (1024 * n_frames, 12288), dtype=np.uint16)
+    mss = rng.integers(0, 65536, (256 * n_frames, 12288), dtype=np.uint16)
+    imdt = b"".join(
+        aos.build_image_frame(
+            pan[i * 1024 : (i + 1) * 1024],
+            mss[i * 256 : (i + 1) * 256],
+            seq=i + 1,
+        )
+        for i in range(n_frames)
+    )
+    imtr = b"".join(
+        aos.build_imtr_frame(pl, i + 1)
+        for i, pl in enumerate(aos.split_stream_into_imtr_payload(imdt))
+    )
+    stream = b"".join(
+        aos.build_aos_frame(pl, i)
+        for i, pl in enumerate(aos.split_stream_into_aos_payload(imtr))
+    )
+    p = str(tmp_path / "KASHI_TJ3-01_20220817_031259_1.dat")
+    with open(p, "wb") as f:
+        f.write(stream)
+
+    # The 882-byte IMTR framing has no resync (reference parity,
+    # aux_separator.h:487-509), so a useful -O restart must land where the
+    # 880-byte AOS payload stream realigns with the 882-byte frames: every
+    # lcm(880, 882)/880 = 441 AOS frames; x4 for page alignment.
+    off = 1764 * aos.AOS_FRAME_BYTES + 123   # +123: unaligned on purpose
+    assert off < len(stream)
+    sep = AuxSeparator(p, offset=off, out_dir=str(tmp_path))
+    assert sep.offset % 4096 == 0 and sep.offset <= off
+    outs = sep.separate()
+    got_pan = np.fromfile(outs["pan"], dtype="<u2").reshape(-1, 12288)
+    # later frames survive intact: the final frame's PAN block matches
+    assert got_pan.shape[0] >= 1024
+    np.testing.assert_array_equal(got_pan[-1024:], pan[-1024:])
