@@ -23,10 +23,12 @@ oiptpu \
     --rrc-msb3 rrc_b3.txt --rrc-msb4 rrc_b4.txt
 
 # 4) stitch the two CMOS halves (RAW path; band-mapped BigTIFF path below)
+# fold columns pair with the prestitch overlap (reference sample-task:
+# FOLDCOL_PAN = stitch-overlap = 200; FOLDCOL_MSS = 200/4 = 50)
 oiptpu stitch --image1 CMOS1.PAN.RRC.RAW --image2 CMOS2.PAN.RRC.PRESTT.RAW \
-    -o FULL.PAN.STT.RAW -c 400
+    -o FULL.PAN.STT.RAW -c 200
 # oiptpu stitch --image1 L.ALIGNED.TIFF --image2 R.ALIGNED.TIFF \
-#     -o FULL.MSS.TIFF -c 400 -g -m 3,2,1,4
+#     -o FULL.MSS.TIFF -c 50 -g -m 3,2,1,4
 
 # --- or: the whole scene in fused device programs (fast mode, one run) ---
 # oiptpu scene \

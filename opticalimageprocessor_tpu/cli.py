@@ -289,6 +289,8 @@ def _scene(argv) -> int:
     rrc_mss2 = (a.rrc_m2b1, a.rrc_m2b2, a.rrc_m2b3, a.rrc_m2b4)
     if any(rrc_mss2) and not a.mss2:
         raise UsageError("--rrc-m2b* needs --mss2")
+    if a.out_mss and not a.mss2:
+        raise UsageError("--out-mss needs --mss2")
     for opt, f in (
         ("--pan1", a.pan1), ("--pan2", a.pan2), ("--mss", a.mss),
         ("--mss2", a.mss2),

@@ -316,22 +316,9 @@ def make_device_pipeline(
     def pipeline(pan1, pan2, mss, pan1_params, pan2_params, mss_params):
         pan1_c = rrc.rrc_apply(pan1, pan1_params)
         pan2_c = rrc.rrc_apply(pan2, pan2_params)
-        mss_c = jnp.stack(
-            [rrc.rrc_apply(mss[i], mss_params[i]) for i in range(MSS_BANDS)]
-        )
-        coeffs, n_valid = register_fast(
-            pan1_c, mss_c, slices, n_sections, threshold=threshold
-        )
-        aligned = jnp.stack(
-            [
-                resample.remap_band_fast_chunked(
-                    mss_c[i], coeffs[i][0], coeffs[i][1],
-                    chunk_rows=chunk_rows, row_bound=row_bound,
-                    col_block=col_block, col_halo=col_halo,
-                )
-                for i in range(MSS_BANDS)
-            ],
-            axis=-1,
+        aligned, n_valid = _rrc_register_align(
+            pan1_c, mss, mss_params, slices, n_sections, threshold,
+            chunk_rows, row_bound, col_block, col_halo,
         )
         # reference order: CalcSttParameters correlates the *uncorrected*
         # strips (main.cpp:280-284 runs it before DoRRC)
@@ -360,12 +347,38 @@ def make_device_pipeline(
     return pipeline
 
 
+def _rrc_register_align(
+    pan_c, mss, mss_params, slices, n_sections, threshold,
+    chunk_rows, row_bound, col_block, col_halo,
+):
+    """Shared core of the CMOS1 pipeline and the CMOS2 (mss2) align:
+    RRC the bands, register against ``pan_c``, resample each band."""
+    mss_c = jnp.stack(
+        [rrc.rrc_apply(mss[i], mss_params[i]) for i in range(MSS_BANDS)]
+    )
+    coeffs, n_valid = register_fast(
+        pan_c, mss_c, slices, n_sections, threshold=threshold
+    )
+    aligned = jnp.stack(
+        [
+            resample.remap_band_fast_chunked(
+                mss_c[i], coeffs[i][0], coeffs[i][1],
+                chunk_rows=chunk_rows, row_bound=row_bound,
+                col_block=col_block, col_halo=col_halo,
+            )
+            for i in range(MSS_BANDS)
+        ],
+        axis=-1,
+    )
+    return aligned, n_valid
+
+
 def make_mss_align(
     slices: int = 10,
     n_sections: int | None = None,
     threshold: float = IBCV_DEF_THRESHOLD,
     chunk_rows: int = 512,
-    row_bound: int = 3,
+    row_bound: int = 6,
     col_block: int = 128,
     col_halo: int = 16,
 ):
@@ -375,6 +388,10 @@ def make_mss_align(
     PAN2 (sample-task.sh step 3.2 registers against S1_PAN2 =
     ``*.RRC.PRESTT.RAW``).
 
+    ``row_bound`` defaults wider (6) than the CMOS1 pipeline's: MSS2's
+    fitted vertical offset combines the band misregistration with the
+    band-scale residue of the prestitch translation.
+
     signature: (pan_c u16 (L, W), mss u16 (4, L/4, W/4),
                 mss_params (4, 6, W/4) f32)
              -> (aligned u16 (L/4, W/4, 4), n_valid (4,) i32)
@@ -382,23 +399,9 @@ def make_mss_align(
 
     @jax.jit
     def align(pan_c, mss, mss_params):
-        mss_c = jnp.stack(
-            [rrc.rrc_apply(mss[i], mss_params[i]) for i in range(MSS_BANDS)]
+        return _rrc_register_align(
+            pan_c, mss, mss_params, slices, n_sections, threshold,
+            chunk_rows, row_bound, col_block, col_halo,
         )
-        coeffs, n_valid = register_fast(
-            pan_c, mss_c, slices, n_sections, threshold=threshold
-        )
-        aligned = jnp.stack(
-            [
-                resample.remap_band_fast_chunked(
-                    mss_c[i], coeffs[i][0], coeffs[i][1],
-                    chunk_rows=chunk_rows, row_bound=row_bound,
-                    col_block=col_block, col_halo=col_halo,
-                )
-                for i in range(MSS_BANDS)
-            ],
-            axis=-1,
-        )
-        return aligned, n_valid
 
     return align

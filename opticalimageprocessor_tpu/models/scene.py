@@ -196,6 +196,11 @@ def run_scene(
         out_stitched_mss = os.path.join(
             out_dir or os.getcwd(), f"stitched-MSS{TIFF_FILE_EXT}"
         )
+    elif os.path.splitext(out_stitched_mss)[1].lower() not in (
+        ".tiff", ".tif",
+    ):
+        # multi-band stitched output is TIFF-only (stitch_tiff parity)
+        raise ValueError("Output file should be a tiff image")
     with stage("scene_write_stitched_mss", stm.nbytes):
         tiff_io.write_tiff(out_stitched_mss, stm)
     olog("Stitched MSS written to %s", out_stitched_mss)

@@ -216,6 +216,10 @@ class Stitcher:
             (self.pan1, self.rrc1, self.rrc_file_pan1),
             (self.pan2, self.rrc2, self.rrc_file_pan2),
         ):
+            if not par:
+                # the reference fails loudly here (LoadRRCParamFile fopen
+                # throws); never silently write uncorrected .RRC.RAW
+                raise ValueError("RRC parameter file needed")
             params = jnp.asarray(
                 load_split_params(par, self.pixels_per_line)
             )
