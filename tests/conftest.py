@@ -5,6 +5,7 @@ process — conftest is imported before test modules, so do it here.
 """
 
 import os
+import tempfile
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -12,6 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# CLI tests enable the persistent XLA compile cache (cli._enable_compile
+# _cache) for the whole process; point it at a per-session temp dir so test
+# runs never deserialise executables cached by earlier runs/configurations
+os.environ["OIP_JAX_CACHE"] = tempfile.mkdtemp(prefix="oiptpu_jax_test_")
 
 import jax  # noqa: E402
 
