@@ -78,6 +78,13 @@ def run_scene(
         make_device_pipeline,
     )
 
+    if mss2_file and out_stitched_mss and (
+        os.path.splitext(out_stitched_mss)[1].lower() not in (".tiff", ".tif")
+    ):
+        # fail before minutes of device compute; multi-band stitched output
+        # is TIFF-only (stitch_tiff parity)
+        raise ValueError("Output file should be a tiff image")
+
     band_px = pixels_per_line // MSS_BANDS
     p1 = raw_io.RawStrip(pan1_file, pixels_per_line)
     p2 = raw_io.RawStrip(pan2_file, pixels_per_line)
@@ -196,11 +203,6 @@ def run_scene(
         out_stitched_mss = os.path.join(
             out_dir or os.getcwd(), f"stitched-MSS{TIFF_FILE_EXT}"
         )
-    elif os.path.splitext(out_stitched_mss)[1].lower() not in (
-        ".tiff", ".tif",
-    ):
-        # multi-band stitched output is TIFF-only (stitch_tiff parity)
-        raise ValueError("Output file should be a tiff image")
     with stage("scene_write_stitched_mss", stm.nbytes):
         tiff_io.write_tiff(out_stitched_mss, stm)
     olog("Stitched MSS written to %s", out_stitched_mss)

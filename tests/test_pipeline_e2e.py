@@ -541,6 +541,16 @@ def test_cli_scene_usage_errors(tmp_path, rng):
     assert cli.main(
         ["scene", "--pan1", "/nope.RAW", "--pan2", f, "--mss", f]
     ) == 254
+    # --out-mss without --mss2 is a parse-time usage error
+    assert cli.main(
+        ["scene", "--pan1", f, "--pan2", f, "--mss", f,
+         "--out-mss", "x.TIFF"]
+    ) == 254
+    # non-TIFF stitched-MSS output fails fast (before any compute)
+    assert cli.main(
+        ["scene", "--pan1", f, "--pan2", f, "--mss", f, "--mss2", f,
+         "--out-mss", "x.RAW"]
+    ) == 2
 
 
 def test_cli_mesh_unsupported_flags(tmp_path, rng):
