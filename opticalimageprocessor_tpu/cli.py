@@ -19,7 +19,14 @@ def _build_default_parser() -> argparse.ArgumentParser:
         prog="oiptpu",
         description=(
             "Optical Satellite Image Pre-Processing/Processing Utility "
-            "(TPU-native)"
+            "(TPU-native).  Without a subcommand, runs the inter-band "
+            "registration + alignment action."
+        ),
+        epilog=(
+            "subcommands (run 'oiptpu <subcommand> --help' for options): "
+            "auxsep (downlink AUX/image separation), prestitch (dual-CMOS "
+            "stitch parameters + PAN2 correction), stitch (concatenate the "
+            "CMOS halves), scene (the whole scene as fused device programs)"
         ),
     )
     p.add_argument("-v", "--version", action="version", version="1.1")
