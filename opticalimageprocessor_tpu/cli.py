@@ -333,6 +333,13 @@ def _stitch(argv) -> int:
                    default=False)
     p.add_argument("-m", "--band-map", default="",
                    help="Map output band order (1-based), i.e '3,2,1,4'")
+    p.add_argument(
+        "--band-interp", action="store_true", default=False,
+        help=(
+            "tag 4-band TIFF output bands R/G/B/Alpha "
+            "(StitchTiffGDAL setBandInterpretion; implies -g)"
+        ),
+    )
     p.add_argument("--out-dir", default=None)
     a = p.parse_args(argv)
     if a.fold_cols < 2:
@@ -351,8 +358,9 @@ def _stitch(argv) -> int:
     from .models.stitcher import stitch
 
     stitch(
-        a.image1, a.image2, a.out, a.fold_cols // 2, a.use_gdal, band_map,
-        out_dir=a.out_dir,
+        a.image1, a.image2, a.out, a.fold_cols // 2,
+        a.use_gdal or a.band_interp, band_map,
+        out_dir=a.out_dir, band_interp=a.band_interp,
     )
     return 0
 

@@ -63,6 +63,7 @@ class TiffInfo:
     strip_counts: np.ndarray
     bigtiff: bool
     little_endian: bool
+    extrasamples: tuple[int, ...] = ()
 
 
 class TiffStripWriter:
@@ -92,6 +93,7 @@ class TiffStripWriter:
         predictor: bool = False,
         bigtiff: bool | None = None,
         photometric: int | None = None,
+        extrasamples: int | None = None,
     ):
         self.path = path
         self.width = width
@@ -108,6 +110,11 @@ class TiffStripWriter:
         self.photometric = photometric if photometric is not None else (
             2 if samples >= 3 else 1
         )
+        # per-band color interpretation: with 4 samples GDAL writes
+        # EXTRASAMPLES=2 (unassociated alpha) when band 4 is tagged
+        # GCI_AlphaBand (imageop.h:508-512,528-530 setBandInterpretion), 0
+        # (unspecified) otherwise
+        self.extrasamples = extrasamples if extrasamples is not None else 0
         self._f = open(path, "wb")
         if self.bigtiff:
             self._f.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0))
@@ -134,17 +141,30 @@ class TiffStripWriter:
             self._pending = self._pending[self.rows_per_strip :]
 
     def _emit_strip(self, strip: np.ndarray) -> None:
-        if self.predictor:
-            strip = _predict2_encode(strip)
-        raw = np.ascontiguousarray(strip).tobytes()
+        plain = np.ascontiguousarray(strip).tobytes()
         if self.comp == COMPRESSION_LZW:
+            if self.predictor:
+                strip = _predict2_encode(strip)
+            raw = np.ascontiguousarray(strip).tobytes()
             enc = native.lzw_encode(raw)
-            data = enc if enc is not None and len(enc) < len(raw) * 2 else raw
             if enc is None:
                 raise RuntimeError("LZW requested but unavailable")
-            data = enc
+            if not self._offsets and len(enc) >= len(raw):
+                # pathological expansion (incompressible content): the
+                # compression tag is file-global, so the guard can only
+                # engage before any strip is written — switch the whole
+                # file to uncompressed on the first strip
+                olog(
+                    "LZW expanded the first strip (%d -> %d bytes); "
+                    "writing uncompressed TIFF", len(raw), len(enc),
+                )
+                self.comp = COMPRESSION_NONE
+                self.predictor = False
+                data = plain
+            else:
+                data = enc
         else:
-            data = raw
+            data = plain
         self._offsets.append(self._f.tell())
         self._counts.append(len(data))
         self._f.write(data)
@@ -186,7 +206,7 @@ class TiffStripWriter:
         if self.predictor:
             raw_entries.append((T_PREDICTOR, 3, [2]))
         if self.samples == 4:
-            raw_entries.append((T_EXTRASAMPLES, 3, [0]))
+            raw_entries.append((T_EXTRASAMPLES, 3, [self.extrasamples]))
         raw_entries.sort(key=lambda entry: entry[0])
 
         # first pass: write out-of-line arrays, record value field per entry
@@ -314,6 +334,9 @@ def read_tiff_info(path: str) -> TiffInfo:
             strip_counts=np.asarray(tags[T_STRIPBYTECOUNTS], np.int64),
             bigtiff=big,
             little_endian=le,
+            extrasamples=tuple(
+                int(v) for v in tags.get(T_EXTRASAMPLES, [])
+            ),
         )
 
 

@@ -40,17 +40,27 @@ from ..ops.cv_exact import get_optimal_dft_size
 
 
 def _fit_poly(cx, y, deg: int, w=None):
-    """Small weighted least-squares on device (float32)."""
-    # normalise x for conditioning
-    scale = jnp.float32(1.0 / 4096.0)
+    """Small weighted least-squares on device, in double-word float32.
+
+    Matches the host float64 Vandermonde fit (ops/polyfit, the NumCpp
+    Poly1d::fit analogue) to ~2^-48 relative — the normal equations are
+    accumulated and solved in dd arithmetic (ops/ddf32) on x normalised by
+    an exact power of two, so flagship-path coefficients agree with the
+    parity fit to <=1e-6 px over the strip (was ~1e-2 px with the old
+    plain-f32 lstsq)."""
+    from ..ops import ddf32
+
+    scale = jnp.float32(1.0 / 4096.0)     # exact pow2: xn = cx*scale exact
     xn = cx * scale
-    v = jnp.stack([xn**k for k in range(deg + 1)], axis=-1)
-    if w is not None:
-        v = v * w[:, None]
-        y = y * w
-    coeffs, *_ = jnp.linalg.lstsq(v, y)
-    return coeffs * jnp.asarray(
-        [scale**k for k in range(deg + 1)], coeffs.dtype
+    if w is None:
+        w = jnp.ones_like(xn)
+    coeffs = ddf32.fit_poly_weighted_dd(xn, y, deg, w)
+    # de-normalise: coeff for x^k is c_k * scale^k (exact pow2 scaling)
+    return jnp.stack(
+        [
+            ddf32.dd_to_f32((c[0] * scale**k, c[1] * scale**k))
+            for k, c in enumerate(coeffs)
+        ]
     )
 
 

@@ -296,6 +296,7 @@ def stitch(
     band_map: list[int] | None = None,
     out_dir: str | None = None,
     pixels_per_line: int = PIXELS_PER_LINE,
+    band_interp: bool = False,
 ) -> str:
     """Static dispatch (Stitcher::Stitch, stitcher.h:21-46): RAW or TIFF."""
     e1 = os.path.splitext(image1)[1].lower()
@@ -310,7 +311,7 @@ def stitch(
         )
     return stitch_tiff(
         image1, image2, output, fold_cols_half, use_gdal_style, band_map,
-        out_dir,
+        out_dir, band_interp,
     )
 
 
@@ -374,11 +375,17 @@ def stitch_tiff(
     use_gdal_style: bool = False,
     band_map: list[int] | None = None,
     out_dir: str | None = None,
+    band_interp: bool = False,
 ) -> str:
     """StitchTiff / StitchTiffGDAL (imageop.h:365-567): concatenate two
     multi-band TIFFs minus the fold columns; the GDAL-style path streams
     20000-line sections and writes LZW + predictor-2 (BigTIFF when large),
-    with the optional 1-based band remap ('-m 3,2,1,4')."""
+    with the optional 1-based band remap ('-m 3,2,1,4').
+
+    ``band_interp`` tags the 4-band output's color interpretation the way
+    StitchTiffGDAL's ``setBandInterpretion`` does (R/G/B/Alpha,
+    imageop.h:508-530): PHOTOMETRIC=RGB plus EXTRASAMPLES=2 (unassociated
+    alpha) — the tag GDAL emits for a GCI_AlphaBand fourth band."""
     if not out_path:
         out_path = os.path.join(out_dir or os.getcwd(), f"stitched{TIFF_FILE_EXT}")
     elif os.path.splitext(out_path)[1].lower() not in (".tiff", ".tif"):
@@ -404,6 +411,7 @@ def stitch_tiff(
         compression="lzw" if use_gdal_style else "none",
         predictor=use_gdal_style,
         rows_per_strip=512,
+        extrasamples=2 if (band_interp and samples == 4) else None,
     )
     # stream both inputs section-by-section (never materialising either,
     # like StitchTiffGDAL's per-band RasterIO loop, imageop.h:489-558);

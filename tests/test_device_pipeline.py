@@ -201,6 +201,124 @@ def test_pipeline_odd_strip_lengths(rng):
     assert stitched.shape == (lines_pan, 2 * (width - 32))
 
 
+def test_fit_poly_matches_float64(rng):
+    """The on-device dd-float32 fit (ops/ddf32) matches the host float64
+    Vandermonde lstsq to sub-1e-6 px over the whole strip — locking the
+    NUMERICS envelope for the flagship fit (was ~1e-2 px with plain f32)."""
+    import jax
+
+    from opticalimageprocessor_tpu.models.device_pipeline import _fit_poly
+
+    cx = np.tile((np.arange(10) * 1228.8 + 614.4).astype(np.float32), 5)
+    true = (0.73, 2.1e-4, -3.7e-9)
+    y64 = (
+        true[0]
+        + true[1] * cx.astype(np.float64)
+        + true[2] * cx.astype(np.float64) ** 2
+        + rng.normal(0, 0.03, cx.size)
+    )
+    y = y64.astype(np.float32)
+    w = (rng.random(cx.size) > 0.2).astype(np.float32)
+    for deg in (1, 2):
+        c_dev = np.asarray(
+            jax.jit(lambda cx, y, w, d=deg: _fit_poly(cx, y, d, w))(
+                jnp.asarray(cx), jnp.asarray(y), jnp.asarray(w)
+            )
+        )
+        m = w > 0
+        v = np.vander(cx[m].astype(np.float64), deg + 1, increasing=True)
+        c_host, *_ = np.linalg.lstsq(v, y[m].astype(np.float64), rcond=None)
+        x = np.linspace(0.0, 12288.0, 2049)
+        dev_eval = sum(c_dev[k] * x**k for k in range(deg + 1))
+        host_eval = sum(c_host[k] * x**k for k in range(deg + 1))
+        assert np.abs(dev_eval - host_eval).max() < 1e-6, (
+            deg, c_dev, c_host,
+        )
+
+
+def test_windowed_peak_edge_behaviour(rng):
+    """Adversarial check of the fast peak's +-win window claim
+    (device_pipeline.py register_fast / phasecorr.peak_from_spectra_windowed):
+    a shift inside the window registers accurately; a shift AT the window
+    edge must not produce a silently-wrong value; a shift BEYOND the window
+    surfaces as low-response samples and trips the reference's loud
+    min-count error — never a plausible-but-wrong small shift."""
+    lines_mss, band_px = 512, 768
+    scene, pan = _scene_pair(rng, lines_mss, band_px)
+    win = 16  # PAN pixels
+
+    def run(roll_px):
+        mss = np.stack([np.roll(scene, roll_px, axis=1)] * 4)
+        return register_fast(
+            jnp.asarray(pan), jnp.asarray(mss), slices=8, n_sections=1,
+            win=(win, win),
+        )
+
+    # inside: band roll 3 -> PAN shift 12 < 16
+    coeffs, n_valid = run(3)
+    check_registration_valid(n_valid)
+    assert abs(float(coeffs[0][0][0]) - 12.0) < 0.3
+
+    # at the edge: PAN shift exactly 16 == win; the truncated centroid must
+    # still land on the true peak (no silent small-shift bias)
+    coeffs_e, n_valid_e = run(4)
+    if int(np.asarray(n_valid_e)[0]) >= 5:
+        assert abs(float(coeffs_e[0][0][0]) - 16.0) < 1.0, coeffs_e[0][0]
+
+    # beyond: PAN shift 32 >> 16; the true peak is outside the evaluated
+    # window, so every sample must FAIL the response filter (loud error),
+    # not fit a wrong in-window shift
+    _, n_valid_b = run(8)
+    assert int(np.asarray(n_valid_b)[0]) < 5, np.asarray(n_valid_b)
+    with pytest.raises(RuntimeError, match="Not enough valid correlation"):
+        check_registration_valid(n_valid_b)
+
+
+def test_fast_stt_rounding_vs_parity_geometry(rng):
+    """Measure the fast stt's x64 window rounding (device_pipeline
+    stt_estimate_fast) against the reference window geometry
+    (stitcher.h:151-156: exact line_per_section, optimal-DFT padding, full
+    peak search) on the same strips: the sampled windows differ, the
+    averaged deltas must not (<< 0.1 px on a common scene)."""
+    from opticalimageprocessor_tpu.ops import phasecorr
+
+    lines, width, ov, sections, lps = 1000, 640, 64, 3, 333
+    wide = rng.integers(2000, 42000, (lines + 8, 2 * width)).astype(np.uint16)
+    pan1 = np.ascontiguousarray(wide[4 : 4 + lines, :width])
+    pan2 = np.ascontiguousarray(
+        wide[2 : 2 + lines, width - ov + 3 : 2 * width - ov + 3]
+    )
+
+    # parity estimate on the reference geometry (no x64 rounding)
+    gap = (lines - sections * lps) // (sections + 1)
+    step = gap + lps
+    dxs, dys, rss = [], [], []
+    for i in range(sections):
+        off = gap + i * step
+        t1 = pan1[off : off + lps, width - ov :].astype(np.float32)
+        t2 = pan2[off : off + lps, :ov].astype(np.float32)
+        dx, dy, r = phasecorr.phase_correlate(t1, t2)
+        dxs.append(dx)
+        dys.append(dy)
+        rss.append(r)
+    ok = [i for i in range(sections) if rss[i] >= 0.4]
+    assert ok
+    dx_p = float(np.mean([dxs[i] for i in ok]))
+    dy_p = float(np.mean([dys[i] for i in ok]))
+
+    dx_f, dy_f, _, n = stt_estimate_fast(
+        jnp.asarray(pan1), jnp.asarray(pan2), sections=sections,
+        line_per_section=lps, overlap_cols=ov,
+    )
+    check_stt_valid(n)
+    # both recover the constructed (-3, +2) offset; fast-mode's rounded
+    # window geometry moves the average by far less than the validity
+    # threshold's own granularity
+    assert abs(dx_p - (-3.0)) < 0.2 and abs(dy_p - 2.0) < 0.2
+    assert abs(float(dx_f) - dx_p) < 0.1, (float(dx_f), dx_p)
+    assert abs(float(dy_f) - dy_p) < 0.1, (float(dy_f), dy_p)
+
+
 def test_stt_sections_exceed_strip_raises(rng):
     """Reference parity: too many stt sections for the strip is the host
     Stitcher ctor's error, not silently clamped duplicate windows."""

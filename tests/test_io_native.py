@@ -93,6 +93,60 @@ def test_stitch_tiff_sectioned_equals_whole(tmp_path, rng):
     np.testing.assert_array_equal(tiff_io.read_tiff(out), want)
 
 
+def test_tiff_lzw_expansion_falls_back_uncompressed(tmp_path, rng):
+    """Incompressible content would expand under LZW; the writer must
+    detect it on the FIRST strip (the compression tag is file-global) and
+    emit a valid uncompressed TIFF instead — the guard the round-2 review
+    found dead (io/tiff.py)."""
+    if not native.native_available():
+        pytest.skip("native LZW unavailable")
+    img = rng.integers(0, 65536, (96, 257), dtype=np.uint16)  # white noise
+    p = str(tmp_path / "noise.tiff")
+    tiff_io.write_tiff(
+        p, img, rows_per_strip=32, compression="lzw", predictor=True
+    )
+    info = tiff_io.read_tiff_info(p)
+    assert info.compression == tiff_io.COMPRESSION_NONE
+    assert info.predictor != 2
+    np.testing.assert_array_equal(tiff_io.read_tiff(p), img)
+    # and the file is not larger than the raw payload + a small header
+    import os
+
+    assert os.path.getsize(p) < img.nbytes + 4096
+
+    # compressible content keeps LZW
+    p2 = str(tmp_path / "flat.tiff")
+    tiff_io.write_tiff(
+        p2, np.full_like(img, 1234), rows_per_strip=32,
+        compression="lzw", predictor=True,
+    )
+    assert tiff_io.read_tiff_info(p2).compression == tiff_io.COMPRESSION_LZW
+
+
+def test_stitch_tiff_band_interp_tags(tmp_path, rng):
+    """band_interp tags the 4-band output like StitchTiffGDAL's
+    setBandInterpretion (imageop.h:508-530): PHOTOMETRIC=RGB +
+    EXTRASAMPLES=2 (unassociated alpha, GDAL's GCI_AlphaBand encoding)."""
+    from opticalimageprocessor_tpu.models.stitcher import stitch_tiff
+
+    h, w, fold = 64, 64, 8
+    left = rng.integers(0, 65536, (h, w, 4), dtype=np.uint16)
+    right = rng.integers(0, 65536, (h, w, 4), dtype=np.uint16)
+    lp, rp = str(tmp_path / "L.TIFF"), str(tmp_path / "R.TIFF")
+    tiff_io.write_tiff(lp, left)
+    tiff_io.write_tiff(rp, right)
+    out = stitch_tiff(
+        lp, rp, str(tmp_path / "S.TIFF"), fold, band_interp=True
+    )
+    info = tiff_io.read_tiff_info(out)
+    assert info.extrasamples == (2,)
+    # default (reference's setBandInterpretion=false): unspecified
+    out2 = stitch_tiff(lp, rp, str(tmp_path / "S2.TIFF"), fold)
+    assert tiff_io.read_tiff_info(out2).extrasamples == (0,)
+    want = np.concatenate([left[:, : w - fold], right[:, fold:]], axis=1)
+    np.testing.assert_array_equal(tiff_io.read_tiff(out), want)
+
+
 def test_tiff_row_count_mismatch(tmp_path, img1):
     p = str(tmp_path / "bad.tiff")
     w = tiff_io.TiffStripWriter(p, 300, 200)
