@@ -285,7 +285,27 @@ def _scene(argv) -> int:
     p.add_argument("-o", "--out", default="",
                    help="stitched PAN output (.TIFF or .RAW)")
     p.add_argument("--out-dir", default=None)
+    p.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help=(
+            "run the fused scene pipeline SPMD over an N-device line mesh "
+            "(0 = single device; same fast-mode semantics)"
+        ),
+    )
+    p.add_argument(
+        "--stream", action="store_true", default=False,
+        help=(
+            "stream the scene in sections (bounded HBM/host RSS for "
+            "scenes larger than device memory; bit-identical outputs)"
+        ),
+    )
+    p.add_argument(
+        "--stream-section-lines", type=int, default=4096,
+        help="PAN lines per streamed section (with --stream)",
+    )
     a = p.parse_args(argv)
+    if a.stream and a.mesh:
+        raise UsageError("--stream and --mesh are mutually exclusive")
     if a.fold_cols < 2:
         raise UsageError("fold column value too small")
     if not (0.0 <= a.ibc_threshold < 1.0) or not (
@@ -307,16 +327,27 @@ def _scene(argv) -> int:
     ):
         _require_file(f, opt)
 
-    from .models.scene import run_scene
-
-    run_scene(
-        a.pan1, a.pan2, a.mss, a.rrc_pan1, a.rrc_pan2, rrc_mss,
+    common = dict(
         mss2_file=a.mss2, rrc_mss2_files=rrc_mss2,
         slices=a.slices, sections=a.ibc_sections or None,
         fold_cols=a.fold_cols, stt_sections=a.stt_sections,
         threshold=a.ibc_threshold, stt_threshold=a.stt_threshold,
         stt_max_delta_y=a.stt_maxdeltay,
         out_stitched=a.out, out_stitched_mss=a.out_mss, out_dir=a.out_dir,
+    )
+    if a.stream:
+        from .models.scene_stream import run_scene_streamed
+
+        run_scene_streamed(
+            a.pan1, a.pan2, a.mss, a.rrc_pan1, a.rrc_pan2, rrc_mss,
+            section_rows=a.stream_section_lines, **common,
+        )
+        return 0
+    from .models.scene import run_scene
+
+    run_scene(
+        a.pan1, a.pan2, a.mss, a.rrc_pan1, a.rrc_pan2, rrc_mss,
+        mesh=a.mesh, **common,
     )
     return 0
 

@@ -114,6 +114,7 @@ def register_fast(
         pad = (get_optimal_dft_size(corr_rows), get_optimal_dft_size(cols))
     else:
         pad = (corr_rows, cols)
+    win = phasecorr.clamp_win(win, pad)
     if use_fused is None:
         use_fused = jax.default_backend() == "tpu"
     # the fused kernel needs M = 4*brows (no padding) and an 8-divisible
@@ -238,6 +239,7 @@ def stt_estimate_fast(
     gap = (lines - sections * lps) // (sections + 1)
     step = gap + lps
     ow = overlap_cols - edge_cols
+    win = phasecorr.clamp_win(win, (lps, ow))
 
     def one(i):
         off = gap + i * step

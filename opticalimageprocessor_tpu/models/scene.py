@@ -10,10 +10,16 @@ surface).  Outputs the CMOS1 ALIGNED.TIFF and the stitched PAN in one run,
 with the reference's validity failures (``Not enough valid correlation
 values``, ``No valid delta value found``) surfaced identically.
 
+``mesh=N`` runs the same fused pipeline SPMD over an N-device 'line' mesh
+(parallel/sharded_scene): strips are ingested shard-by-shard straight from
+the memory maps (bounded host RSS) and the output rasters are drained
+shard-by-shard into the streaming writers — the multi-chip scaling path
+for the flagship program.
+
 Fast-mode semantics (documented in ops/resample / models/device_pipeline):
 within 1 DN of the file-materialised parity pipelines.  The scene must fit
-in HBM (~10x the PAN strip bytes); use the ``prestitch``/``stitch``/default
-commands for strips beyond that.
+in HBM (~10x the PAN strip bytes per chip); use the
+``prestitch``/``stitch``/default commands for strips beyond that.
 """
 
 from __future__ import annotations
@@ -37,6 +43,20 @@ from ..io import tiff as tiff_io
 from ..utils.logging import olog, stage
 
 
+def _row_blocks(arr):
+    """Yield the rows of a device array as host blocks in line order: one
+    block per addressable shard for a line-sharded array (never
+    materialising the whole raster), or the whole array on one device."""
+    shards = getattr(arr, "addressable_shards", None)
+    if shards is not None and len(shards) > 1:
+        for sh in sorted(
+            shards, key=lambda s: s.index[0].start or 0
+        ):
+            yield np.asarray(sh.data)
+    else:
+        yield np.asarray(arr)
+
+
 def run_scene(
     pan1_file: str,
     pan2_file: str,
@@ -58,6 +78,7 @@ def run_scene(
     out_dir: str | None = None,
     pixels_per_line: int = PIXELS_PER_LINE,
     bgr_tiff_order: bool = True,
+    mesh: int = 0,
 ):
     """Run the fused scene pipeline; returns a dict of output paths
     (``aligned``, ``stitched``; with ``mss2_file`` also ``aligned2`` and
@@ -68,7 +89,10 @@ def run_scene(
     against the *prestitched* PAN2 (the sample task's step 3.2 uses
     ``S1_PAN2 = *.RRC.PRESTT.RAW``), and the two ALIGNED rasters stitch
     into one wide MSS image with ``fold_cols/4`` fold columns (the MSS
-    bands are 1/4 the PAN resolution, sample-task.sh FOLDCOL_MSS)."""
+    bands are 1/4 the PAN resolution, sample-task.sh FOLDCOL_MSS).
+
+    ``mesh=N`` executes SPMD over an N-device line mesh (0 = single
+    device)."""
     import jax
     import jax.numpy as jnp
 
@@ -76,6 +100,7 @@ def run_scene(
         check_registration_valid,
         check_stt_valid,
         make_device_pipeline,
+        make_mss_align,
     )
 
     if mss2_file and out_stitched_mss and (
@@ -94,12 +119,43 @@ def run_scene(
     raw_io.check_pan_mss_sizes(p1, ms)
     olog("Scene: PAN %d lines, MSS %d lines.", p1.lines, ms.lines)
 
+    if mesh and len(jax.devices()) < mesh:
+        raise RuntimeError(
+            f"--mesh {mesh} needs {mesh} devices, only "
+            f"{len(jax.devices())} available"
+        )
+    mesh_obj = None
+    if mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import LINE_AXIS, line_mesh
+
+        mesh_obj = line_mesh(mesh)
+        olog(
+            "Sharded scene over %d-device '%s' mesh.",
+            mesh_obj.shape[LINE_AXIS], LINE_AXIS,
+        )
+
+    def load_pan(strip):
+        if mesh_obj is None:
+            return jnp.asarray(np.asarray(strip))
+        return jax.make_array_from_callback(
+            (strip.lines, pixels_per_line),
+            NamedSharding(mesh_obj, P(LINE_AXIS, None)),
+            lambda idx: np.ascontiguousarray(strip._mm[idx]),
+        )
+
     def load_bands(strip):
         # raw MSS line = 4 contiguous band segments; bands to leading axis
-        return jnp.asarray(
-            np.asarray(strip)
-            .reshape(strip.lines, MSS_BANDS, band_px)
-            .transpose(1, 0, 2)
+        view = strip._mm.reshape(strip.lines, MSS_BANDS, band_px).transpose(
+            1, 0, 2
+        )
+        if mesh_obj is None:
+            return jnp.asarray(np.ascontiguousarray(view))
+        return jax.make_array_from_callback(
+            (MSS_BANDS, strip.lines, band_px),
+            NamedSharding(mesh_obj, P(None, LINE_AXIS, None)),
+            lambda idx: np.ascontiguousarray(view[idx]),
         )
 
     def band_params(files):
@@ -110,14 +166,14 @@ def run_scene(
         )
 
     with stage("scene_load", p1.nbytes * 2 + ms.nbytes):
-        pan1 = jnp.asarray(np.asarray(p1))
-        pan2 = jnp.asarray(np.asarray(p2))
+        pan1 = load_pan(p1)
+        pan2 = load_pan(p2)
         mss = load_bands(ms)
     pan1_params = jnp.asarray(load_split_params(rrc_pan1, pixels_per_line))
     pan2_params = jnp.asarray(load_split_params(rrc_pan2, pixels_per_line))
     mss_params = band_params(rrc_mss_files)
 
-    pipeline = make_device_pipeline(
+    common = dict(
         slices=slices, n_sections=sections, fold=fold_cols // 2,
         stt_sections=stt_sections,
         # the stt windows span the physical CMOS overlap, which is what
@@ -128,6 +184,14 @@ def run_scene(
         stt_max_delta_y=stt_max_delta_y,
         return_prestt=bool(mss2_file),
     )
+    if mesh_obj is None:
+        pipeline = make_device_pipeline(**common)
+    else:
+        from ..parallel.sharded_scene import make_sharded_scene_fn
+
+        pipeline = make_sharded_scene_fn(
+            mesh_obj, p1.lines, pixels_per_line, **common
+        )
     with stage("scene_pipeline", p1.nbytes * 2 + ms.nbytes):
         if mss2_file:
             aligned, stitched, prestt, n_valid, n_stt = pipeline(
@@ -141,27 +205,42 @@ def run_scene(
     check_registration_valid(np.asarray(n_valid))
     check_stt_valid(np.asarray(n_stt))
 
+    order = [2, 1, 0, 3] if bgr_tiff_order else [0, 1, 2, 3]
+
+    def write_aligned_tiff(path, arr):
+        writer = tiff_io.TiffStripWriter(
+            path, band_px, arr.shape[0], samples=MSS_BANDS
+        )
+        for blk in _row_blocks(arr):
+            writer.write_rows(blk[:, :, order])
+        writer.close()
+
     aligned_path = build_output_file_path(
         mss_file, IBPA_STEM_EXT, TIFF_FILE_EXT, out_dir=out_dir
     )
-    out = np.asarray(aligned)
-    if bgr_tiff_order:
-        out = out[..., [2, 1, 0, 3]]
-    with stage("scene_write_aligned", out.nbytes):
-        tiff_io.write_tiff(aligned_path, out)
+    with stage("scene_write_aligned", aligned.size * 2):
+        write_aligned_tiff(aligned_path, aligned)
     olog("Aligned MSS written to %s", aligned_path)
 
-    st = np.asarray(stitched)
+    st_w = int(stitched.shape[1])
     if not out_stitched:
         out_stitched = os.path.join(
             out_dir or os.getcwd(),
-            f"stitched_{st.shape[1]}n{BYTES_PER_PIXEL * 8}b{TIFF_FILE_EXT}",
+            f"stitched_{st_w}n{BYTES_PER_PIXEL * 8}b{TIFF_FILE_EXT}",
         )
-    with stage("scene_write_stitched", st.nbytes):
+    with stage("scene_write_stitched", stitched.size * 2):
         if os.path.splitext(out_stitched)[1].lower() in (".tiff", ".tif"):
-            tiff_io.write_tiff(out_stitched, st)
+            writer = tiff_io.TiffStripWriter(
+                out_stitched, st_w, stitched.shape[0], samples=1
+            )
+            for blk in _row_blocks(stitched):
+                writer.write_rows(blk)
+            writer.close()
         else:
-            raw_io.write_raw_image(out_stitched, st)
+            writer = raw_io.RawStripWriter(out_stitched, st_w)
+            for blk in _row_blocks(stitched):
+                writer.write_lines(blk)
+            writer.close()
     olog("Stitched PAN written to %s", out_stitched)
     outs = {"aligned": aligned_path, "stitched": out_stitched}
     if not mss2_file:
@@ -169,16 +248,22 @@ def run_scene(
 
     # ---- CMOS2 MSS: align against the prestitched PAN2, then stitch the
     # two aligned rasters (sample-task.sh steps 3.2 + 4)
-    from .device_pipeline import make_mss_align
-
     ms2 = raw_io.RawStrip(mss2_file, pixels_per_line)
     raw_io.check_pan_mss_sizes(p2, ms2)
     with stage("scene_load_mss2", ms2.nbytes):
         mss2 = load_bands(ms2)
     mss2_params = band_params(rrc_mss2_files)
-    align2 = make_mss_align(
-        slices=slices, n_sections=sections, threshold=threshold
-    )
+    if mesh_obj is None:
+        align2 = make_mss_align(
+            slices=slices, n_sections=sections, threshold=threshold
+        )
+    else:
+        from ..parallel.sharded_scene import make_sharded_mss_align_fn
+
+        align2 = make_sharded_mss_align_fn(
+            mesh_obj, p2.lines, pixels_per_line, slices=slices,
+            n_sections=sections, threshold=threshold,
+        )
     with stage("scene_align_mss2", ms2.nbytes):
         aligned2, n_valid2 = align2(prestt, mss2, mss2_params)
         jax.block_until_ready(aligned2)
@@ -187,24 +272,35 @@ def run_scene(
     aligned2_path = build_output_file_path(
         mss2_file, IBPA_STEM_EXT, TIFF_FILE_EXT, out_dir=out_dir
     )
-    out2 = np.asarray(aligned2)
-    if bgr_tiff_order:
-        out2 = out2[..., [2, 1, 0, 3]]
-    with stage("scene_write_aligned2", out2.nbytes):
-        tiff_io.write_tiff(aligned2_path, out2)
+    with stage("scene_write_aligned2", aligned2.size * 2):
+        write_aligned_tiff(aligned2_path, aligned2)
     olog("Aligned MSS (CMOS2) written to %s", aligned2_path)
 
     # stitch the aligned MSS pair: MSS fold columns are PAN's / 4
     # (sample-task.sh FOLDCOL_MSS), each side losing half at the seam
     foldm_half = max(1, fold_cols // MSS_BANDS // 2)
     half = band_px - foldm_half
-    stm = np.concatenate([out[:, :half], out2[:, foldm_half:]], axis=1)
     if not out_stitched_mss:
         out_stitched_mss = os.path.join(
             out_dir or os.getcwd(), f"stitched-MSS{TIFF_FILE_EXT}"
         )
-    with stage("scene_write_stitched_mss", stm.nbytes):
-        tiff_io.write_tiff(out_stitched_mss, stm)
+    with stage("scene_write_stitched_mss", aligned.size * 4):
+        writer = tiff_io.TiffStripWriter(
+            out_stitched_mss, 2 * half, aligned.shape[0],
+            samples=MSS_BANDS,
+        )
+        # both rasters share the mesh/sharding, so their row blocks pair up
+        for b1, b2 in zip(_row_blocks(aligned), _row_blocks(aligned2)):
+            writer.write_rows(
+                np.concatenate(
+                    [
+                        b1[:, :half, order],
+                        b2[:, foldm_half:, order],
+                    ],
+                    axis=1,
+                )
+            )
+        writer.close()
     olog("Stitched MSS written to %s", out_stitched_mss)
     outs.update(
         {"aligned2": aligned2_path, "stitched_mss": out_stitched_mss}

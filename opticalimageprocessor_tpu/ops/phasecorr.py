@@ -243,6 +243,19 @@ def _eval_consts(n: int, keep: int, win: int, rows_axis: bool):
     return cos.astype(np.float32), sin.astype(np.float32)
 
 
+def clamp_win(win: tuple[int, int], pad_to: tuple[int, int]):
+    """Clamp a (win_y, win_x) peak window to at most half the tile: the
+    windowed evaluation is circular, so shifts s and s +- dim coincide —
+    a window reaching dim/2 would contain duplicate peaks and the arg-max
+    could alias a true shift s to s -+ dim.  Callers clamp BEFORE invoking
+    the windowed peak (real camera geometry is unaffected: 64 << every
+    default tile dimension; only tiny test/exotic tiles clamp)."""
+    return (
+        min(win[0], (pad_to[0] - 1) // 2),
+        min(win[1], (pad_to[1] - 1) // 2),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("pad_to", "win_y", "win_x"))
 def peak_from_spectra_windowed(
     far, fai, fbr, fbi, pad_to: tuple[int, int],
@@ -257,7 +270,8 @@ def peak_from_spectra_windowed(
     DFT restricted to a window); the semantic difference from
     cv::phaseCorrelate is only that a global peak OUTSIDE the window cannot
     be found — such tiles surface as low-response samples, which the
-    pipeline's validity threshold already discards.
+    pipeline's validity threshold already discards.  Windows must satisfy
+    win < dim/2 (see :func:`clamp_win`).
     """
     M, N = pad_to
     keep = far.shape[-1]

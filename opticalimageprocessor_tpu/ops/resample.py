@@ -605,31 +605,37 @@ def _fast_row_pass(
     return acc
 
 
-def remap_band_fast_chunked(
-    src: jax.Array, coeff_x, coeff_y, chunk_rows: int,
-    row_bound: int = ROW_OFF_BOUND_FAST,
-    col_block: int | None = None,
-    col_halo: int | None = None,
-) -> jax.Array:
-    """Row-chunk-streamed :func:`remap_band_fast` (lax.map) so HBM holds one
-    chunk's working set; the column matrix is built once and reused."""
-    rows, width = src.shape
-    chunk_rows = min(chunk_rows, rows)
-    n_chunks = -(-rows // chunk_rows)
-    pad_rows = n_chunks * chunk_rows - rows
-    if pad_rows:
-        src = jnp.pad(src, ((0, pad_rows), (0, 0)))
-    col_matrix = _col_interp_matrix(
-        jnp.asarray(coeff_x, jnp.float32), width, col_block, col_halo
-    )
+def _band_g(coeff_y, width: int):
+    """Per-column vertical offset G(x) from the fitted dy polynomial."""
     f32 = jnp.float32
     x = jnp.arange(width, dtype=f32)
     xx = x * f32(MSS_BANDS)
     cy = jnp.asarray(coeff_y, f32)
-    g = (cy[2] * xx * xx + cy[1] * xx + cy[0]) / f32(MSS_BANDS)
+    return (cy[2] * xx * xx + cy[1] * xx + cy[0]) / f32(MSS_BANDS)
 
+
+def _remap_fast_over_padded(
+    padded: jax.Array,
+    rows: int,
+    coeff_x,
+    coeff_y,
+    chunk_rows: int,
+    row_bound: int,
+    col_matrix: jax.Array,
+    g: jax.Array,
+) -> jax.Array:
+    """Chunked fast remap over a row-padded source buffer.
+
+    ``padded`` holds ``halo = row_bound + 2`` context rows above the first
+    output row and at least ``halo`` below the last (shape
+    ``(ceil(rows/chunk)*chunk + 2*halo, W)``; trailing filler rows feed
+    only discarded outputs).  Callers choose the context: zeros for the
+    strip/section border (single-device path) or true neighbour rows from
+    a ppermute halo exchange (the sharded scene pipeline)."""
+    width = padded.shape[1]
+    chunk_rows = min(chunk_rows, rows)
+    n_chunks = -(-rows // chunk_rows)
     halo = row_bound + 2
-    padded = jnp.pad(src, ((halo, halo), (0, 0)))
 
     def one(i):
         blk = jax.lax.dynamic_slice_in_dim(
@@ -645,6 +651,41 @@ def remap_band_fast_chunked(
         n_chunks * chunk_rows, width
     )
     return out[:rows]
+
+
+def pad_for_fast_remap(
+    src: jax.Array, rows: int, chunk_rows: int, row_bound: int
+) -> jax.Array:
+    """Bottom-fill a halo-carrying buffer to the chunk grid of
+    :func:`_remap_fast_over_padded`: ``src`` is (rows + 2*halo, W) with the
+    halo context already in place; returns
+    (ceil(rows/chunk)*chunk + 2*halo, W)."""
+    chunk_rows = min(chunk_rows, rows)
+    n_chunks = -(-rows // chunk_rows)
+    fill = n_chunks * chunk_rows - rows
+    return jnp.pad(src, ((0, fill), (0, 0))) if fill else src
+
+
+def remap_band_fast_chunked(
+    src: jax.Array, coeff_x, coeff_y, chunk_rows: int,
+    row_bound: int = ROW_OFF_BOUND_FAST,
+    col_block: int | None = None,
+    col_halo: int | None = None,
+) -> jax.Array:
+    """Row-chunk-streamed :func:`remap_band_fast` (lax.map) so HBM holds one
+    chunk's working set; the column matrix is built once and reused."""
+    rows, width = src.shape
+    col_matrix = _col_interp_matrix(
+        jnp.asarray(coeff_x, jnp.float32), width, col_block, col_halo
+    )
+    g = _band_g(coeff_y, width)
+    halo = row_bound + 2
+    padded = pad_for_fast_remap(
+        jnp.pad(src, ((halo, halo), (0, 0))), rows, chunk_rows, row_bound
+    )
+    return _remap_fast_over_padded(
+        padded, rows, coeff_x, coeff_y, chunk_rows, row_bound, col_matrix, g
+    )
 
 
 def remap_const_fast_chunked(
@@ -666,15 +707,34 @@ def remap_const_fast_chunked(
     no longer grows with the supported |dy| bound.  ``row_bound`` only
     sizes the halo (callers clamp |dy| <= row_bound - 2).
     """
+    rows = src.shape[0]
+    halo = row_bound + 2
+    padded = pad_for_fast_remap(
+        jnp.pad(src, ((halo, halo), (0, 0))), rows, chunk_rows, row_bound
+    )
+    return _remap_const_over_padded(
+        padded, rows, dx, dy, chunk_rows, row_bound, col_block, col_halo
+    )
+
+
+def _remap_const_over_padded(
+    padded: jax.Array,
+    rows: int,
+    dx: jax.Array,
+    dy: jax.Array,
+    chunk_rows: int,
+    row_bound: int,
+    col_block: int | None = None,
+    col_halo: int | None = None,
+) -> jax.Array:
+    """Chunked constant-shift remap over a row-padded buffer (same halo
+    contract as :func:`_remap_fast_over_padded`)."""
     f32 = jnp.float32
-    rows, width = src.shape
+    width = padded.shape[1]
     dx = jnp.asarray(dx, f32)
     dy = jnp.asarray(dy, f32)
     chunk_rows = min(chunk_rows, rows)
     n_chunks = -(-rows // chunk_rows)
-    pad_rows = n_chunks * chunk_rows - rows
-    if pad_rows:
-        src = jnp.pad(src, ((0, pad_rows), (0, 0)))
     col_matrix = _col_interp_matrix(
         jnp.stack([f32(MSS_BANDS) * dx, f32(0.0)]), width,
         col_block, col_halo,
@@ -683,13 +743,11 @@ def remap_const_fast_chunked(
     fy = dy - iy0
     iy0 = iy0.astype(jnp.int32)
     w0, w1, w2, w3 = _cubic_weights_f32(fy)
-
     halo = row_bound + 2
-    padded_src = jnp.pad(src, ((halo, halo), (0, 0)))
 
     def one(i):
         blk = jax.lax.dynamic_slice_in_dim(
-            padded_src, i * chunk_rows, chunk_rows + 2 * halo, 0
+            padded, i * chunk_rows, chunk_rows + 2 * halo, 0
         )
         colg = _col_interp_apply(blk.astype(f32), col_matrix)
         # output row y reads colg rows y + halo + iy0 + (a - 1), a in 0..3;

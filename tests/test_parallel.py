@@ -290,3 +290,108 @@ def test_sharded_prestitch_no_valid_delta(tmp_path):
             overlap_cols=64, threshold=0.9, do_rrc=False,
             out_dir=str(tmp_path), pixels_per_line=ppl,
         )
+
+
+def test_sharded_scene_matches_single_device(rng):
+    """The SPMD fused scene pipeline (parallel/sharded_scene, the CLI's
+    ``scene --mesh N``) reproduces the single-chip flagship
+    (models/device_pipeline.make_device_pipeline): stitched PAN
+    byte-identical, aligned raster within 1 DN (fit rounding at chunk/shard
+    seams), validity counts equal."""
+    from opticalimageprocessor_tpu.models.device_pipeline import (
+        check_registration_valid,
+        check_stt_valid,
+        make_device_pipeline,
+    )
+    from opticalimageprocessor_tpu.ops import resample, rrc
+    from opticalimageprocessor_tpu.parallel.sharded_scene import (
+        make_sharded_scene_fn,
+    )
+
+    lines_pan, width, ov = 1024, 640, 32
+    lines_mss, band_px = lines_pan // 4, width // 4
+    scene = rng.integers(2000, 42000, (lines_mss, band_px)).astype(np.uint16)
+    pan1 = np.clip(
+        np.rint(np.asarray(resample.upsample4_f32(scene.astype(np.float32)))),
+        0, 65535,
+    ).astype(np.uint16)
+    pan2 = np.roll(np.roll(pan1, 2, axis=0), ov - 3 - width, axis=1)
+    mss = np.stack(
+        [np.roll(np.roll(scene, b % 2, 0), b - 1, 1) for b in range(4)]
+    )
+    pp = jnp.asarray(rrc.split_rrc_params(np.ones(width), np.zeros(width)))
+    mp = jnp.asarray(
+        np.stack([rrc.split_rrc_params(np.ones(band_px), np.zeros(band_px))] * 4)
+    )
+
+    kw = dict(slices=8, fold=ov // 2, stt_sections=2, overlap_cols=ov)
+    a1, s1, nv1, ns1 = make_device_pipeline(**kw)(
+        jnp.asarray(pan1), jnp.asarray(pan2), jnp.asarray(mss), pp, pp, mp
+    )
+    check_registration_valid(np.asarray(nv1))
+    check_stt_valid(np.asarray(ns1))
+
+    m = mesh_lib.line_mesh(8)
+    fn = make_sharded_scene_fn(m, lines_pan, width, **kw)
+    l2 = NamedSharding(m, P("line", None))
+    l3 = NamedSharding(m, P(None, "line", None))
+    a2, s2, nv2, ns2 = fn(
+        jax.device_put(pan1, l2), jax.device_put(pan2, l2),
+        jax.device_put(mss, l3), pp, pp, mp,
+    )
+    assert np.array_equal(np.asarray(nv1), np.asarray(nv2))
+    assert int(ns1) == int(ns2)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    d = np.abs(
+        np.asarray(a1).astype(np.int32) - np.asarray(a2).astype(np.int32)
+    )
+    assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
+
+
+def test_scene_cli_mesh_matches_single(tmp_path, rng):
+    """End-to-end ``scene --mesh 8`` through run_scene (sharded ingest +
+    shard-by-shard drain): output files equal the single-device scene run
+    within the fast-mode envelope (stitched byte-identical, aligned <=1 DN)."""
+    from opticalimageprocessor_tpu.formats.rrc_csv import save_rrc_params
+    from opticalimageprocessor_tpu.io import tiff as tiff_io
+    from opticalimageprocessor_tpu.models.scene import run_scene
+    from opticalimageprocessor_tpu.ops import resample
+
+    lines_pan, width, ov = 1024, 640, 32
+    lines_mss, band_px = lines_pan // 4, width // 4
+    scene = rng.integers(2000, 42000, (lines_mss, band_px)).astype(np.uint16)
+    pan1 = np.clip(
+        np.rint(np.asarray(resample.upsample4_f32(scene.astype(np.float32)))),
+        0, 65535,
+    ).astype(np.uint16)
+    pan2 = np.roll(np.roll(pan1, 2, axis=0), ov - 3 - width, axis=1)
+    mss = np.stack(
+        [np.roll(scene, b - 1, 1) for b in range(4)], axis=1
+    ).reshape(lines_mss, width)
+
+    p1 = str(tmp_path / "C1.PAN.RAW")
+    p2 = str(tmp_path / "C2.PAN.RAW")
+    ms = str(tmp_path / "C1.MSS.RAW")
+    pan1.astype("<u2").tofile(p1)
+    pan2.astype("<u2").tofile(p2)
+    mss.astype("<u2").tofile(ms)
+    rrc_pan = str(tmp_path / "pan.rrc")
+    save_rrc_params(rrc_pan, np.tile([[1.01, -3.0]], (width, 1)))
+
+    out_a = tmp_path / "single"
+    out_b = tmp_path / "meshed"
+    out_a.mkdir()
+    out_b.mkdir()
+    kw = dict(
+        rrc_pan1=rrc_pan, rrc_pan2=rrc_pan, slices=8, fold_cols=ov,
+        stt_sections=2, pixels_per_line=width,
+    )
+    o1 = run_scene(p1, p2, ms, out_dir=str(out_a), **kw)
+    o2 = run_scene(p1, p2, ms, out_dir=str(out_b), mesh=8, **kw)
+    st1 = tiff_io.read_tiff(o1["stitched"])
+    st2 = tiff_io.read_tiff(o2["stitched"])
+    np.testing.assert_array_equal(st1, st2)
+    a1 = tiff_io.read_tiff(o1["aligned"]).astype(np.int32)
+    a2 = tiff_io.read_tiff(o2["aligned"]).astype(np.int32)
+    d = np.abs(a1 - a2)
+    assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
