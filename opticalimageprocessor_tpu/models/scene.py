@@ -17,9 +17,10 @@ shard-by-shard into the streaming writers — the multi-chip scaling path
 for the flagship program.
 
 Fast-mode semantics (documented in ops/resample / models/device_pipeline):
-within 1 DN of the file-materialised parity pipelines.  The scene must fit
-in HBM (~10x the PAN strip bytes per chip); use the
-``prestitch``/``stitch``/default commands for strips beyond that.
+within 1 DN of the file-materialised parity pipelines.  This resident
+variant holds the scene in HBM (~10x the PAN strip bytes per chip); for
+scenes beyond that, ``scene --stream`` (models/scene_stream) runs the
+same math in bounded-memory sections with bit-identical outputs.
 """
 
 from __future__ import annotations

@@ -190,8 +190,8 @@ def _section_step_fn():
         ),
     )
     def section_step(
-        p1_sec, p2_pad, mss_pad, pan1_par, pan2_par, mss_par,
-        coeff_x, coeff_y, dxs, dys,
+        p1_sec, p2_pad, mss_pad, p2_mask, mss_mask,
+        pan1_par, pan2_par, mss_par, coeff_x, coeff_y, dxs, dys,
         *, fold, chunk_rows, row_bound, prestt_row_bound, col_block,
         col_halo,
     ):
@@ -200,14 +200,20 @@ def _section_step_fn():
         ``p1_sec``: (S, W) u16 (no halo — concat only); ``p2_pad``:
         (S + 2*(prestt_row_bound+2), W); ``mss_pad``:
         (4, S/4 + 2*(row_bound+2), W/4) — halo rows are true neighbour
-        rows from the file (zeros at strip ends)."""
+        rows from the file.  ``p2_mask``/``mss_mask`` flag rows inside
+        the strip: rows beyond the strip must read the resample's
+        border value 0 *after* RRC (the RRC bias would otherwise turn
+        the zero-filled file rows nonzero — the resident pipeline pads
+        post-RRC)."""
         f32 = jnp.float32
         width = p1_sec.shape[1]
         sec_rows = p1_sec.shape[0]
         sec_b = mss_pad.shape[1] - 2 * (row_bound + 2)
 
         p1c = _rrc_jnp(p1_sec, pan1_par)
-        p2c = _rrc_jnp(p2_pad, pan2_par)
+        p2c = jnp.where(
+            p2_mask[:, None], _rrc_jnp(p2_pad, pan2_par), jnp.uint16(0)
+        )
         prestt = resample._remap_const_over_padded(
             resample.pad_for_fast_remap(
                 p2c, sec_rows, chunk_rows, prestt_row_bound
@@ -222,7 +228,10 @@ def _section_step_fn():
         band_w = mss_pad.shape[2]
         outs = []
         for b in range(MSS_BANDS):
-            bc = _rrc_jnp(mss_pad[b], mss_par[b])
+            bc = jnp.where(
+                mss_mask[:, None], _rrc_jnp(mss_pad[b], mss_par[b]),
+                jnp.uint16(0),
+            )
             col_matrix = resample._col_interp_matrix(
                 jnp.asarray(coeff_x[b], f32), band_w, col_block, col_halo
             )
@@ -254,16 +263,20 @@ def _mss_section_fn():
         static_argnames=("chunk_rows", "row_bound", "col_block", "col_halo"),
     )
     def mss_section(
-        mss_pad, mss_par, coeff_x, coeff_y,
+        mss_pad, mss_mask, mss_par, coeff_x, coeff_y,
         *, chunk_rows, row_bound, col_block, col_halo,
     ):
-        """Streamed CMOS2 MSS section: RRC + alignment resample only."""
+        """Streamed CMOS2 MSS section: RRC + alignment resample only
+        (``mss_mask`` zeroes the beyond-strip halo rows post-RRC)."""
         f32 = jnp.float32
         sec_b = mss_pad.shape[1] - 2 * (row_bound + 2)
         band_w = mss_pad.shape[2]
         outs = []
         for b in range(MSS_BANDS):
-            bc = _rrc_jnp(mss_pad[b], mss_par[b])
+            bc = jnp.where(
+                mss_mask[:, None], _rrc_jnp(mss_pad[b], mss_par[b]),
+                jnp.uint16(0),
+            )
             col_matrix = resample._col_interp_matrix(
                 jnp.asarray(coeff_x[b], f32), band_w, col_block, col_halo
             )
@@ -556,6 +569,10 @@ def run_scene_streamed(
     sec_b = section_rows // MSS_BANDS
     n_secs = -(-p1.lines // section_rows)
 
+    def row_mask(a, b, lines):
+        r = np.arange(a, b)
+        return jnp.asarray((r >= 0) & (r < lines))
+
     def submit(k):
         a = k * section_rows
         valid = min(section_rows, p1.lines - a)
@@ -576,8 +593,10 @@ def run_scene_streamed(
             )
         )
         aligned, stitched, prestt = step(
-            p1_sec, p2_pad, mss_pad, *params_dev,
-            coeff_x, coeff_y, dxs, dys,
+            p1_sec, p2_pad, mss_pad,
+            row_mask(a - halo_p, a + section_rows + halo_p, p2.lines),
+            row_mask(ab - halo_b, ab + sec_b + halo_b, ms.lines),
+            *params_dev, coeff_x, coeff_y, dxs, dys,
             fold=fold, chunk_rows=chunk_rows, row_bound=row_bound,
             prestt_row_bound=prestt_row_bound, col_block=col_block,
             col_halo=col_halo,
@@ -653,8 +672,10 @@ def run_scene_streamed(
                 ).transpose(1, 0, 2)
             )
         )
+        r = np.arange(ab - halo_b2, ab + sec_b + halo_b2)
+        mask = jnp.asarray((r >= 0) & (r < ms2.lines))
         aligned = mss_sec(
-            mss_pad, mss2_par_dev, coeff_x2, coeff_y2,
+            mss_pad, mask, mss2_par_dev, coeff_x2, coeff_y2,
             chunk_rows=chunk_rows, row_bound=mss2_row_bound,
             col_block=col_block, col_halo=col_halo,
         )
