@@ -108,15 +108,51 @@ class AuxSeparator:
         return self._separate_image_data()
 
     # -- stages 1+2 -----------------------------------------------------
+    def _read_chunks(self):
+        """Producer: read fixed-size chunks on a dedicated thread into a
+        bounded queue — the reference's 2-thread producer/consumer overlap
+        of file IO with scanning (aux_separator.h:233-238), with RSS still
+        bounded (~1 in-flight chunk + ~2 being scanned).  Yields
+        (data, eof) pairs in order."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=1)
+
+        def reader():
+            try:
+                with open(self.input_file, "rb") as f:
+                    f.seek(self.offset)
+                    while True:
+                        data = f.read(self.chunk_bytes)
+                        eof = len(data) < self.chunk_bytes
+                        q.put((data, eof, None))
+                        if eof:
+                            break
+            except Exception as e:  # noqa: BLE001 — surfaced to consumer
+                q.put((b"", True, e))
+
+        t = threading.Thread(target=reader, name="aos-reader", daemon=True)
+        t.start()
+        while True:
+            data, eof, err = q.get()
+            if err is not None:
+                raise err
+            yield data, eof
+            if eof:
+                break
+        t.join()
+
     def _separate_aos(self):
         """Chunked AOS scan + IMTR reassembly with carry-over at seams.
 
-        Each chunk is copied into anonymous memory (the scan's
-        random-access CRC gathers are far cheaper there than against a
-        page-faulting mmap) and scanned with the reference cursor rules;
+        A reader thread streams chunks (compute/IO overlap, see
+        :meth:`_read_chunks`); each chunk is scanned in anonymous memory
+        (the scan's random-access CRC gathers are far cheaper there than
+        against a page-faulting mmap) with the reference cursor rules;
         unconsumed tail bytes — at most one frame plus a partial sync
         marker, or the sub-frame IMTR remainder — carry into the next
-        chunk, so peak RSS is ~2 chunks for any downlink size."""
+        chunk, so peak RSS is ~3 chunks for any downlink size."""
         total = os.stat(self.input_file).st_size - self.offset
         n_valid = n_empty = n_invalid = 0
         carry = np.zeros(0, np.uint8)
@@ -125,13 +161,10 @@ class AuxSeparator:
         n_payload = 0
         chid = 0
         f_imdt = None
-        with stage("aos_scan", max(total, 0)), open(self.input_file, "rb") as f:
-            f.seek(self.offset)
-            while True:
-                data = f.read(self.chunk_bytes)
+        with stage("aos_scan", max(total, 0)):
+            for data, eof in self._read_chunks():
                 if not data and not carry.size:
                     break
-                eof = len(data) < self.chunk_bytes
                 chunk = np.frombuffer(data, dtype=np.uint8)
                 buf = (
                     np.concatenate([carry, chunk]) if carry.size else chunk
@@ -226,6 +259,7 @@ class AuxSeparator:
             stage("imdt_extract", sz),
         ):
             cursor = 0
+            pending = None   # one frame in flight: decode k+1 while writing k
             for sp in sigs.tolist():
                 if sp < cursor:
                     continue
@@ -237,51 +271,74 @@ class AuxSeparator:
                     olog("incomplete image frame #%05d, ignored.", meta.seq)
                     cursor = meta.frame_end
                     continue
-                if meta.seq > last_seq + 1:
+                gap = meta.seq - last_seq - 1
+                if gap > 0:
                     olog(
                         "Missing image frame(s) of range[%06d,%06d], "
                         "filling with zero data ...", last_seq + 1, meta.seq - 1,
                     )
-                    for _ in range(meta.seq - last_seq - 1):
-                        f_aux.write(zero_aux)
-                        f_pan.write(zero_pan)
-                        f_mss.write(zero_mss)
-                self._write_frame(buf, meta, f_aux, f_pan, f_mss)
+                # submit this frame's tile work to the pool, then drain the
+                # PREVIOUS frame while it decodes/swaps (the frame-level
+                # producer/consumer overlap, aux_separator.h:233-238)
+                submitted = (meta, gap, self._submit_frame(buf, meta))
+                if pending is not None:
+                    self._flush_frame(
+                        pending, zero_aux, zero_pan, zero_mss,
+                        f_aux, f_pan, f_mss,
+                    )
+                pending = submitted
                 cursor = meta.frame_end
                 last_seq = meta.seq
                 n_frames += 1
+            if pending is not None:
+                self._flush_frame(
+                    pending, zero_aux, zero_pan, zero_mss,
+                    f_aux, f_pan, f_mss,
+                )
         olog("%d image frames processed.", n_frames)
         return {"aux": aux_path, "pan": pan_path, "mss": mss_path}
 
-    def _write_frame(self, buf, meta: aos.ImageFrameMeta, f_aux, f_pan, f_mss):
-        start = meta.start
-        f_aux.write(buf[start : start + aos.IMGSIG_AUX_ALLBYTES].tobytes())
-        p = start + aos.IMGSIG_AUX_ALLBYTES
-
+    def _submit_frame(self, buf, meta: aos.ImageFrameMeta):
+        """Slice the frame's 40 sub-image blocks and submit their
+        inflate+byte-swap to the worker pool (compressed AND uncompressed:
+        the pool covers JP2 decode, the raw memcpy, and the 16-bit swap).
+        Returns (aux_bytes, ordered list of futures)."""
+        aux_bytes = buf[
+            meta.start : meta.start + aos.IMGSIG_AUX_ALLBYTES
+        ].tobytes()
+        p = meta.start + aos.IMGSIG_AUX_ALLBYTES
         n_vparts = aos.IMGSIG_PAN_VPARTS + aos.IMGSIG_MSS_VPARTS
         n_tiles = n_vparts * aos.IMGSIG_IMG_HPARTS
-        blocks = []
+        pool = self._decode_pool()
+        futures = []
         for idx in range(n_tiles):
             nbytes = int(meta.sub_image_dwords[idx]) * 4
-            blocks.append(buf[p : p + nbytes])
-            p += nbytes
-
-        if meta.z_ratio == aos.IMGSIG_ZRTO_NONE:
-            tiles = (self._inflate_sub_image(meta.z_ratio, b) for b in blocks)
-        else:
-            # decode the 40 JP2 sub-tiles on a worker pool (replacing the
-            # reference's producer/consumer thread pair,
-            # aux_separator.h:233-238): decodes run concurrently and the
-            # ordered result stream overlaps the stripe writes below
-            tiles = self._decode_pool().map(
-                lambda b: self._inflate_sub_image(meta.z_ratio, b), blocks
+            futures.append(
+                pool.submit(
+                    self._inflate_sub_image, meta.z_ratio, buf[p : p + nbytes]
+                )
             )
+            p += nbytes
+        return aux_bytes, futures
+
+    def _flush_frame(
+        self, pending, zero_aux, zero_pan, zero_mss, f_aux, f_pan, f_mss
+    ):
+        """Write one completed frame in sequence order: the zero-fill for
+        any preceding gap, the AUX block, then the merged image stripes."""
+        meta, gap, (aux_bytes, futures) = pending
+        for _ in range(gap):
+            f_aux.write(zero_aux)
+            f_pan.write(zero_pan)
+            f_mss.write(zero_mss)
+        f_aux.write(aux_bytes)
 
         stripe = np.empty(
             (aos.IMGSIG_IMBASE_LINES, aos.IMGSIG_IMG_HPARTS * aos.IMGSIG_IMBASE_COLS),
             np.uint16,
         )
-        for idx, tile in enumerate(tiles):
+        for idx, fut in enumerate(futures):
+            tile = fut.result()
             r, c = divmod(idx, aos.IMGSIG_IMG_HPARTS)
             stripe[
                 :, c * aos.IMGSIG_IMBASE_COLS : (c + 1) * aos.IMGSIG_IMBASE_COLS
