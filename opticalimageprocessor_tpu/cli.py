@@ -121,15 +121,6 @@ def _default_action(a) -> int:
         _require_file(f, f"--rrc-msb{i}")
 
     if a.mesh:
-        # surface the host-path-only knobs loudly instead of silently
-        # dropping them (the mesh route has no RRC-PAN TIFF writer and
-        # uses fast-mode remap semantics, not the quantized parity grid)
-        if a.do_rrc4pan and a.write_rrcpan:
-            raise UsageError("--write-rrcpan is not supported with --mesh")
-        if a.coord_mode == "quantized":
-            raise UsageError(
-                "--coord-mode quantized is not supported with --mesh"
-            )
         from .models.sharded_align import run_sharded_align
 
         run_sharded_align(
@@ -139,6 +130,8 @@ def _default_action(a) -> int:
             threshold=a.ibc_threshold, line_offset=a.line_offset,
             section_overlap=a.overlap_lines,
             keep_leading_lines=a.keep_leading, out_dir=a.out_dir,
+            quantized_coords=a.coord_mode == "quantized",
+            write_rrcpan=a.do_rrc4pan and a.write_rrcpan,
         )
         return 0
 

@@ -73,10 +73,14 @@ def register_fast(
     exact_sizes: bool = False,
     threshold: float = IBCV_DEF_THRESHOLD,
     use_fused: bool | None = None,
+    pan_params: jax.Array | None = None,
 ):
     """Fast registration: per-(section, slice) windowed phase correlation.
 
-    ``pan_c``: (L_pan, W) uint16 (RRC'd); ``mss_c``: (4, L_mss, W/4) uint16.
+    ``pan_c``: (L_pan, W) uint16 (RRC'd) — or the RAW strip when
+    ``pan_params`` is given, in which case each sampled tile is RRC'd
+    inline (identical per-pixel math; the corrected full strip is never
+    materialised in HBM).  ``mss_c``: (4, L_mss, W/4) uint16.
     Returns (coeffs, n_valid): per-band (coeff_x[2], coeff_y[3]) fitted on
     the device over samples with response >= ``threshold`` (the reference's
     0.4 filter, oipshared.h:35 + preproc.h:492-503), and the per-band valid
@@ -137,7 +141,15 @@ def register_fast(
         row0 = sec * sec_stride
         pt = jax.lax.dynamic_slice(
             pan_c, (row0, i * cols), (corr_rows, cols)
-        ).astype(jnp.float32)
+        )
+        if pan_params is not None:
+            from ..ops.rrc import _rrc_math
+
+            pp = jax.lax.dynamic_slice(pan_params, (0, i * cols), (6, cols))
+            pt = _rrc_math(
+                pt.astype(jnp.int32), *[pp[k][None, :] for k in range(6)]
+            ).astype(jnp.uint16)
+        pt = pt.astype(jnp.float32)
         far, fai = phasecorr.rfft2_padded(pt, pad, True)
         outs = []
         for band in range(MSS_BANDS):
@@ -326,11 +338,15 @@ def make_device_pipeline(
 
     @jax.jit
     def pipeline(pan1, pan2, mss, pan1_params, pan2_params, mss_params):
-        pan1_c = rrc.rrc_apply(pan1, pan1_params)
-        pan2_c = rrc.rrc_apply(pan2, pan2_params)
+        # the corrected PAN strips are never materialised: registration
+        # RRCs its sampled tiles inline, and the stitch tail fuses RRC +
+        # prestitch remap + seam concat into one chunk-streamed pass
+        # (resample.remap_const_stitch_chunked) — ~3 strip-sized HBM
+        # round trips less than the separate-stage structure
         aligned, n_valid = _rrc_register_align(
-            pan1_c, mss, mss_params, slices, n_sections, threshold,
+            pan1, mss, mss_params, slices, n_sections, threshold,
             chunk_rows, row_bound, col_block, col_halo,
+            pan_params=pan1_params,
         )
         # reference order: CalcSttParameters correlates the *uncorrected*
         # strips (main.cpp:280-284 runs it before DoRRC)
@@ -342,34 +358,35 @@ def make_device_pipeline(
         dys = jnp.clip(
             dys, -(prestt_row_bound - 2.0), prestt_row_bound - 2.0
         )
-        prestt = resample.remap_const_fast_chunked(
-            pan2_c, dxs, dys,
+        out = resample.remap_const_stitch_chunked(
+            pan1, pan2, pan1_params, pan2_params, dxs, dys, fold,
             chunk_rows=chunk_rows,
             row_bound=prestt_row_bound,
             col_block=col_block,
             col_halo=col_halo,
-        )
-        stitched = jnp.concatenate(
-            [pan1_c[:, : pan1_c.shape[1] - fold], prestt[:, fold:]], axis=1
+            want_prestt=return_prestt,
         )
         if return_prestt:
+            stitched, prestt = out
             return aligned, stitched, prestt, n_valid, n_stt
-        return aligned, stitched, n_valid, n_stt
+        return aligned, out, n_valid, n_stt
 
     return pipeline
 
 
 def _rrc_register_align(
     pan_c, mss, mss_params, slices, n_sections, threshold,
-    chunk_rows, row_bound, col_block, col_halo,
+    chunk_rows, row_bound, col_block, col_halo, pan_params=None,
 ):
     """Shared core of the CMOS1 pipeline and the CMOS2 (mss2) align:
-    RRC the bands, register against ``pan_c``, resample each band."""
+    RRC the bands, register against ``pan_c`` (raw + inline tile RRC when
+    ``pan_params`` is given), resample each band."""
     mss_c = jnp.stack(
         [rrc.rrc_apply(mss[i], mss_params[i]) for i in range(MSS_BANDS)]
     )
     coeffs, n_valid = register_fast(
-        pan_c, mss_c, slices, n_sections, threshold=threshold
+        pan_c, mss_c, slices, n_sections, threshold=threshold,
+        pan_params=pan_params,
     )
     aligned = jnp.stack(
         [

@@ -55,6 +55,8 @@ def run_sharded_align(
     bgr_tiff_order: bool = True,
     pixels_per_line: int = PIXELS_PER_LINE,
     write_tiff: bool = True,
+    quantized_coords: bool = False,
+    write_rrcpan: bool = False,
 ):
     """Run the sharded align pipeline; returns the ALIGNED.TIFF path (or
     the aligned array when ``write_tiff=False``).
@@ -129,12 +131,39 @@ def run_sharded_align(
             lambda idx: np.ascontiguousarray(mss_view[idx]),
         )
 
-    step = make_align_step(mesh, slices, sections, threshold)
+    step = make_align_step(
+        mesh, slices, sections, threshold,
+        quantized=quantized_coords, want_pan_c=write_rrcpan,
+    )
     with stage("sharded_align", pan.nbytes + mss.nbytes):
-        aligned, coeff_x, coeff_y = step(
-            pan_arr, mss_arr, pan_params, mss_params, line_offset
-        )
+        outs = step(pan_arr, mss_arr, pan_params, mss_params, line_offset)
+        aligned, coeff_x, coeff_y = outs[:3]
         aligned.block_until_ready()
+    if write_rrcpan:
+        # WriteRRCedPAN_TIFF(lineOffset) parity (preproc.h:107,
+        # main.cpp:310): drain the line-sharded corrected PAN shard by
+        # shard from line_offset on
+        from ..constants import RRC_STEM_EXT
+
+        pan_c = outs[3]
+        rrc_path = build_output_file_path(
+            pan_file, RRC_STEM_EXT, TIFF_FILE_EXT, out_dir=out_dir
+        )
+        w = tiff_io.TiffStripWriter(
+            rrc_path, pixels_per_line, pan.lines - line_offset, samples=1
+        )
+        with stage("write_rrcpan", (pan.lines - line_offset) * pixels_per_line * 2):
+            for sh in sorted(
+                pan_c.addressable_shards, key=lambda s: s.index[0].start or 0
+            ):
+                a = sh.index[0].start or 0
+                b = sh.index[0].stop or pan.lines
+                lo = max(a, line_offset)
+                if lo >= b:
+                    continue
+                w.write_rows(np.asarray(sh.data)[lo - a : b - a])
+        w.close()
+        olog("RRC'ed PAN written to %s", rrc_path)
     for b in range(MSS_BANDS):
         olog(
             "\tdeltaX coeff: [1] %.15f, [0] %.9f",

@@ -380,17 +380,23 @@ def _remap_section_math(
     return out
 
 
-def _plan_device_args(plan: RemapPlan):
-    """Device-side constant arrays derived from a plan."""
+def _plan_device_args(plan: RemapPlan, col_shifts: tuple[int, ...] | None = None):
+    """Device-side constant arrays derived from a plan.
+
+    ``col_shifts`` may be a superset of the plan's own shift range (the
+    sharded multi-band remap unions the per-band sets so one compiled
+    kernel serves all bands); absent shifts select nothing."""
+    if col_shifts is None:
+        col_shifts = plan.col_shifts
     w = plan.width
     d = plan.col_tap0 - np.arange(w, dtype=np.int32)
-    s_arr = np.asarray(plan.col_shifts, np.int32)
+    s_arr = np.asarray(col_shifts, np.int32)
     colsel = (d[None, :] == s_arr[:, None]).astype(np.float32)  # (S, W)
     # tap-in-image masks: tap index x + d + b - 1 in [0, W)
     xs = np.arange(w, dtype=np.int64)
-    colvalid = np.zeros((4, len(plan.col_shifts), w), np.float32)
+    colvalid = np.zeros((4, len(col_shifts), w), np.float32)
     for b in range(4):
-        for si, s in enumerate(plan.col_shifts):
+        for si, s in enumerate(col_shifts):
             tap = xs + s + b
             colvalid[b, si] = ((tap >= 0) & (tap < w)).astype(np.float32)
     return (
@@ -764,6 +770,100 @@ def _remap_const_over_padded(
         n_chunks * chunk_rows, width
     )
     return out[:rows]
+
+
+def remap_const_stitch_chunked(
+    pan1: jax.Array,
+    pan2: jax.Array,
+    pan1_params: jax.Array,
+    pan2_params: jax.Array,
+    dx: jax.Array,
+    dy: jax.Array,
+    fold: int,
+    chunk_rows: int,
+    row_bound: int = ROW_OFF_BOUND_FAST,
+    col_block: int | None = None,
+    col_halo: int | None = None,
+    want_prestt: bool = False,
+):
+    """Fused RRC + constant-shift prestitch remap + seam concat.
+
+    The flagship pipeline's dual-CMOS tail as ONE chunk-streamed pass:
+    each row chunk RRCs PAN1 (left stitch half) and PAN2 (+halo), remaps
+    PAN2 by the traced (dx, dy) translation, and emits the stitched rows
+    directly — the corrected strips and the prestitch intermediate are
+    never materialised in HBM (saves ~3 strip-sized round trips vs the
+    separate RRC -> remap -> concatenate programs).  Border rows beyond
+    the strip read 0 *post*-RRC (reference BORDER_CONSTANT semantics).
+
+    Returns stitched (rows, 2*(W-fold)) u16; with ``want_prestt`` also
+    the prestitched PAN2 (rows, W).
+    """
+    from .rrc import _rrc_math
+
+    f32 = jnp.float32
+    rows, width = pan1.shape
+    dx = jnp.asarray(dx, f32)
+    dy = jnp.asarray(dy, f32)
+    chunk_rows = min(chunk_rows, rows)
+    n_chunks = -(-rows // chunk_rows)
+    fill = n_chunks * chunk_rows - rows
+    halo = row_bound + 2
+    col_matrix = _col_interp_matrix(
+        jnp.stack([f32(MSS_BANDS) * dx, f32(0.0)]), width,
+        col_block, col_halo,
+    )
+    iy0 = jnp.floor(dy)
+    fy = dy - iy0
+    iy0 = iy0.astype(jnp.int32)
+    wys = _cubic_weights_f32(fy)
+
+    if fill:
+        pan1 = jnp.pad(pan1, ((0, fill), (0, 0)))
+    pan2_padded = jnp.pad(pan2, ((halo, halo + fill), (0, 0)))
+
+    def rrc_block(blk, params):
+        return _rrc_math(
+            blk.astype(jnp.int32), *[params[i][None, :] for i in range(6)]
+        ).astype(jnp.uint16)
+
+    def one(i):
+        a = i * chunk_rows
+        p1c = rrc_block(
+            jax.lax.dynamic_slice(pan1, (a, 0), (chunk_rows, width)),
+            pan1_params,
+        )
+        p2blk = jax.lax.dynamic_slice(
+            pan2_padded, (a, 0), (chunk_rows + 2 * halo, width)
+        )
+        g_rows = a - halo + jnp.arange(chunk_rows + 2 * halo)
+        inside = (g_rows >= 0) & (g_rows < rows)
+        p2c = jnp.where(
+            inside[:, None], rrc_block(p2blk, pan2_params), jnp.uint16(0)
+        )
+        colg = _col_interp_apply(p2c.astype(f32), col_matrix)
+        acc = jnp.zeros((chunk_rows, width), f32)
+        for a_i, wa in enumerate(wys):
+            tap = jax.lax.dynamic_slice_in_dim(
+                colg, halo + iy0 + a_i - 1, chunk_rows, 0
+            )
+            acc = acc + tap * wa
+        prestt = jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
+        stitched = jnp.concatenate(
+            [p1c[:, : width - fold], prestt[:, fold:]], axis=1
+        )
+        if want_prestt:
+            return stitched, prestt
+        return stitched
+
+    out = jax.lax.map(one, jnp.arange(n_chunks))
+    if want_prestt:
+        stitched, prestt = out
+        return (
+            stitched.reshape(n_chunks * chunk_rows, -1)[:rows],
+            prestt.reshape(n_chunks * chunk_rows, width)[:rows],
+        )
+    return out.reshape(n_chunks * chunk_rows, -1)[:rows]
 
 
 def remap_polynomial_u16(

@@ -188,11 +188,13 @@ def _make_correlate_fn(
     slices: int,
     sections: int,
     use_mxu: bool,
+    return_pan_c: bool = False,
 ):
     """Jitted over ``mesh``: RRC -> tile grid extraction -> tile-sharded
     batched phase correlation.  Returns (mss_c sharded, dx, dy, rs) with
     dx/dy/rs shaped (T, 4), T = sections*slices, tile-major then band —
-    the host _correlate_tiles ordering."""
+    the host _correlate_tiles ordering.  With ``return_pan_c`` the
+    line-sharded corrected PAN is appended (the --write-rrcpan drain)."""
     from ..ops.cv_exact import get_optimal_dft_size
     from ..ops.phasecorr import _phase_correlate_padded
     from ..ops.resample import upsample4_f32
@@ -278,7 +280,8 @@ def _make_correlate_fn(
             out_specs=(P(LINE_AXIS, None),) * 3,
             check_vma=False,
         )(pan_tiles, band_tiles)
-        return mss_c, dx[:t_total], dy[:t_total], rs[:t_total]
+        outs = (mss_c, dx[:t_total], dy[:t_total], rs[:t_total])
+        return outs + (pan_c,) if return_pan_c else outs
 
     in_shardings = (
         NamedSharding(mesh, P(LINE_AXIS, None)),
@@ -292,9 +295,102 @@ def _make_correlate_fn(
         NamedSharding(mesh, P()),
         NamedSharding(mesh, P()),
     )
+    if return_pan_c:
+        out_shardings = out_shardings + (
+            NamedSharding(mesh, P(LINE_AXIS, None)),
+        )
     return jax.jit(
         correlate, in_shardings=in_shardings, out_shardings=out_shardings
     )
+
+
+@functools.lru_cache(maxsize=8)
+def _make_plan_remap_fn(
+    mesh: Mesh,
+    col_shifts: tuple[int, ...],
+    row_offsets: tuple[int, ...],
+    halo_top: int,
+    quantized: bool,
+):
+    """Jitted shard_map: 4-band *parity-grade* alignment resample from
+    host-built RemapPlans (ops/resample._remap_section_math — the exact
+    cv::remap reproduction incl. the float32 map-storage rounding and,
+    with ``quantized``, the OpenCV <=4.x 1/32-px grid) with ppermute
+    halos.  ``y0`` is the shard's absolute first row, so the float32
+    ``y + G`` map value matches a whole-image (unsectioned) map build —
+    the mesh route's documented semantics."""
+    from ..ops.resample import _remap_section_math
+
+    n_dev = mesh.shape[LINE_AXIS]
+    halo_bottom = row_offsets[-1] + 2
+
+    def remap(mss_c, wx, colsel, colvalid, g_hi, g_lo):
+        rows = mss_c.shape[1]
+        pad = (-rows) % n_dev
+        if pad:
+            mss_c = jnp.pad(mss_c, ((0, 0), (0, pad), (0, 0)))
+        loc = (rows + pad) // n_dev
+
+        def local(mss_l, wxl, csl, cvl, ghl, gll):
+            y0 = jax.lax.axis_index(LINE_AXIS) * loc
+            outs = []
+            for b in range(MSS_BANDS):
+                src_halo = exchange_halo(
+                    mss_l[b].astype(jnp.float32), halo_top, halo_bottom,
+                    LINE_AXIS,
+                )
+                outs.append(
+                    _remap_section_math(
+                        src_halo, y0, loc, wxl[b], csl[b], cvl[b],
+                        ghl[b], gll[b],
+                        col_shifts=col_shifts, row_offsets=row_offsets,
+                        halo_top=halo_top, quantized=quantized,
+                    )
+                )
+            return jnp.stack(outs, axis=-1)
+
+        out = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, LINE_AXIS, None),) + (P(),) * 5,
+            out_specs=P(LINE_AXIS, None, None),
+            check_vma=False,
+        )(mss_c, wx, colsel, colvalid, g_hi, g_lo)
+        return out[:rows] if pad else out
+
+    return jax.jit(remap)
+
+
+def _plan_remap_sharded(mesh, mss_c, coeff_x, coeff_y, quantized: bool):
+    """Run the parity-grade sharded remap: build per-band plans on the
+    host (float64, like the host PreProcessor), union their static shift
+    sets so one compiled kernel serves all 4 bands, and dispatch."""
+    from ..ops import resample as rs
+
+    band_px = mss_c.shape[2]
+    plans = [
+        rs.plan_for_band_alignment(
+            coeff_x[b], coeff_y[b], band_px, quantized
+        )
+        for b in range(MSS_BANDS)
+    ]
+    col_shifts = tuple(
+        range(
+            min(p.col_shifts[0] for p in plans),
+            max(p.col_shifts[-1] for p in plans) + 1,
+        )
+    )
+    row_offsets = tuple(
+        range(
+            min(p.row_offsets[0] for p in plans),
+            max(p.row_offsets[-1] for p in plans) + 1,
+        )
+    )
+    halo_top = max(0, -(row_offsets[0] - 1))
+    args = [rs._plan_device_args(p, col_shifts) for p in plans]
+    stacked = [jnp.stack([a[k] for a in args]) for k in range(5)]
+    fn = _make_plan_remap_fn(mesh, col_shifts, row_offsets, halo_top, quantized)
+    return fn(mss_c, *stacked)
 
 
 @functools.lru_cache(maxsize=8)
@@ -548,6 +644,8 @@ def make_align_step(
     slices: int = IBCV_DEF_SLICES,
     sections: int | None = None,
     threshold: float = IBCV_DEF_THRESHOLD,
+    quantized: bool = False,
+    want_pan_c: bool = False,
 ):
     """Build the multi-chip align step over ``mesh`` (axis 'line').
 
@@ -564,6 +662,11 @@ def make_align_step(
 
     ``line_offset``: first MSS line to align (the CLI's --line-offset;
     correlation always samples the full strip, like the host path).
+
+    ``quantized`` routes the resample through the parity-grade plan-based
+    kernel on the OpenCV <=4.x 1/32-px grid (whole-image map semantics);
+    ``want_pan_c`` appends the line-sharded corrected PAN to the step
+    outputs (the --write-rrcpan drain).
     """
     from ..ops import polyfit
 
@@ -576,9 +679,12 @@ def make_align_step(
         *_, centers = section_geometry(lines_pan, width, slices, nsec)
 
         correlate = _make_correlate_fn(
-            mesh, lines_pan, width, lines_mss, slices, nsec, use_mxu
+            mesh, lines_pan, width, lines_mss, slices, nsec, use_mxu,
+            want_pan_c,
         )
-        mss_c, dx, dy, rs = correlate(pan, mss, pan_params, mss_params)
+        outs = correlate(pan, mss, pan_params, mss_params)
+        mss_c, dx, dy, rs = outs[:4]
+        pan_c = outs[4] if want_pan_c else None
 
         dx = np.asarray(dx, np.float64)      # (T, 4)
         dy = np.asarray(dy, np.float64)
@@ -591,12 +697,18 @@ def make_align_step(
                 cx, dx[:, b], dy[:, b], rs[:, b], threshold, b + 1
             )
 
-        remap = _make_remap_fn(mesh)
-        aligned = remap(
-            mss_c[:, line_offset:] if line_offset else mss_c,
-            jnp.asarray(coeff_x, jnp.float32),
-            jnp.asarray(coeff_y, jnp.float32),
-        )
+        src = mss_c[:, line_offset:] if line_offset else mss_c
+        if quantized:
+            aligned = _plan_remap_sharded(mesh, src, coeff_x, coeff_y, True)
+        else:
+            remap = _make_remap_fn(mesh)
+            aligned = remap(
+                src,
+                jnp.asarray(coeff_x, jnp.float32),
+                jnp.asarray(coeff_y, jnp.float32),
+            )
+        if want_pan_c:
+            return aligned, coeff_x, coeff_y, pan_c
         return aligned, coeff_x, coeff_y
 
     return step

@@ -1,6 +1,8 @@
 """Multi-device tests on the virtual 8-device CPU mesh: halo exchange
 correctness and sharded-vs-single-device pipeline consistency."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -395,3 +397,77 @@ def test_scene_cli_mesh_matches_single(tmp_path, rng):
     a2 = tiff_io.read_tiff(o2["aligned"]).astype(np.int32)
     d = np.abs(a1 - a2)
     assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
+
+
+def test_mesh_quantized_and_rrcpan_match_host(rng, tmp_path):
+    """The lifted --mesh restrictions: --coord-mode quantized routes the
+    sharded resample through the parity-grade plan kernel (OpenCV <=4.x
+    1/32-px grid, whole-image maps), and --write-rrcpan drains the
+    line-sharded corrected PAN to the reference's RRC TIFF — both match
+    the host PreProcessor on the same scene."""
+    from opticalimageprocessor_tpu.formats import rrc_csv
+    from opticalimageprocessor_tpu.io import tiff as tiff_io
+    from opticalimageprocessor_tpu.models.preprocessor import PreProcessor
+    from opticalimageprocessor_tpu.models.sharded_align import (
+        run_sharded_align,
+    )
+    from opticalimageprocessor_tpu.ops import resample
+
+    width, band_px = 512, 128
+    lines_mss = 1504
+    scene = rng.integers(2000, 42000, (lines_mss, band_px)).astype(np.uint16)
+    pan_true = np.clip(
+        np.rint(np.asarray(resample.upsample4_f32(scene.astype(np.float32)))),
+        0, 65535,
+    ).astype(np.uint16)
+    bands = np.stack([np.roll(scene, b - 1, 1) for b in range(4)])
+    kp, bp = 1.02, -100.0
+    pan_dl = np.clip(
+        np.rint((pan_true.astype(np.float64) - bp) / kp), 0, 65535
+    ).astype(np.uint16)
+
+    pan_path = tmp_path / "C1.PAN.RAW"
+    mss_path = tmp_path / "C1.MSS.RAW"
+    pan_dl.astype("<u2").tofile(pan_path)
+    np.ascontiguousarray(bands.transpose(1, 0, 2)).astype("<u2").tofile(
+        mss_path
+    )
+    rrc_pan = tmp_path / "pan.rrc"
+    rrc_csv.save_rrc_params(str(rrc_pan), np.tile([[kp, bp]], (width, 1)))
+    rrc_band = tmp_path / "band.rrc"
+    rrc_csv.save_rrc_params(
+        str(rrc_band), np.tile([[1.0, 0.0]], (band_px, 1))
+    )
+
+    pp = PreProcessor(
+        str(pan_path), str(mss_path), str(rrc_pan), (str(rrc_band),) * 4,
+        pixels_per_line=width, fast=False, quantized_coords=True,
+        out_dir=str(tmp_path),
+    )
+    pp.load_and_rrc(do_rrc_pan=True, do_rrc_mss=True)
+    host_rrc_tiff = pp.write_rrc_pan_tiff(0)
+    pp.calc_inter_band_correlation(slices=8, sections=1)
+    host_aligned = pp.do_inter_band_alignment(
+        line_per_section=1504, keep_leading_lines=True, write_tiff=False,
+    )
+
+    out2 = tmp_path / "mesh"
+    out2.mkdir()
+    mesh_aligned = run_sharded_align(
+        str(pan_path), str(mss_path), str(rrc_pan), (str(rrc_band),) * 4,
+        n_devices=8, do_rrc_pan=True, slices=8, sections=1,
+        keep_leading_lines=True, out_dir=str(out2),
+        pixels_per_line=width, write_tiff=False,
+        quantized_coords=True, write_rrcpan=True,
+    )
+    # same quantized-grid maps, same whole-image y (single host section
+    # starts at y=0 == the mesh's global y0): within 1 DN (XLA:CPU
+    # codegen fuse noise; bit-exact on TPU)
+    d = np.abs(
+        mesh_aligned.astype(np.int64) - host_aligned.astype(np.int64)
+    )
+    assert d.max() <= 1, d.max()
+    # the drained RRC PAN TIFF is byte-identical to the host's
+    got = tiff_io.read_tiff(str(out2 / os.path.basename(host_rrc_tiff)))
+    want = tiff_io.read_tiff(host_rrc_tiff)
+    np.testing.assert_array_equal(got, want)
