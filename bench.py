@@ -125,22 +125,30 @@ def main() -> None:
     # in flight (depth-2 pipelining, bounding HBM to two working sets) so
     # device compute overlaps the host drain + interconnect latency — how
     # a production pipeline runs back-to-back scenes.  Every iteration's
-    # result is still fully materialised and read back.
-    t0 = time.perf_counter()
-    prev = pipeline(*args)
-    for it in range(1, n_iters):
-        nxt = pipeline(*args)
-        jax.block_until_ready(prev)
-        _ = np.asarray(prev[0][it % 7, it % 5])
-        prev = nxt
-    jax.block_until_ready(prev)
-    _ = np.asarray(prev[0][0, 0])
-    dt = (time.perf_counter() - t0) / n_iters
+    # result is still fully materialised and read back.  Scenes whose two
+    # working sets would exceed HBM use the serialized timing (gated
+    # up-front: an OOM'd execution poisons subsequent device ops).
     import sys
+
+    if lines_pan <= 49152:
+        t0 = time.perf_counter()
+        prev = pipeline(*args)
+        for it in range(1, n_iters):
+            nxt = pipeline(*args)
+            jax.block_until_ready(prev)
+            _ = np.asarray(prev[0][it % 7, it % 5])
+            prev = nxt
+        jax.block_until_ready(prev)
+        _ = np.asarray(prev[0][0, 0])
+        dt = (time.perf_counter() - t0) / n_iters
+        mode = "pipelined"
+    else:
+        dt = float(np.median(times))
+        mode = "serialized"
 
     print("serialized times:", [round(t, 4) for t in times], file=sys.stderr)
     print(
-        f"pipelined: {dt * 1e3:.1f} ms/iter "
+        f"{mode}: {dt * 1e3:.1f} ms/iter "
         f"(serialized median {np.median(times) * 1e3:.1f})",
         file=sys.stderr,
     )

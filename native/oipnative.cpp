@@ -93,6 +93,72 @@ int64_t oip_find_signatures(const uint8_t* buf, int64_t n, const uint8_t* sig,
 }
 
 // ---------------------------------------------------------------------------
+// Single-pass AOS scan (aux_separator.h:421-461 state machine): memmem the
+// sync marker, validate VCID/injection/CRC, and copy out the validated
+// payloads — one cache-friendly sweep instead of the four separate passes
+// (signature scan, CRC gather, status walk, payload gather).
+//
+// Frame geometry is passed in so the C stays format-agnostic; the Python
+// wrapper supplies the aux_separator.h constants.  Returns the cursor (the
+// byte just past the last consumed frame/signature); counts[0..2] receive
+// valid/empty/invalid, *payload_bytes the bytes written to payload_out
+// (capacity must be >= (n / frame_bytes + 1) * data_bytes).
+// ---------------------------------------------------------------------------
+int64_t oip_scan_aos(const uint8_t* buf, int64_t n,
+                     const uint8_t* sync, int64_t sync_len,
+                     int64_t frame_bytes,
+                     int64_t vcid_off, uint8_t vcid_mask, uint8_t vcid_empty,
+                     int64_t inj_off,
+                     uint32_t inj_valid, uint32_t inj_inval,
+                     int64_t hdr_off, int64_t crc_off,
+                     int64_t data_off, int64_t data_bytes,
+                     uint8_t* payload_out, int64_t* payload_bytes,
+                     int64_t* counts) {
+    if (!crc_init_done) crc_init();
+    counts[0] = counts[1] = counts[2] = 0;
+    int64_t out = 0;
+    int64_t cursor = 0;
+    const uint8_t* end = buf + n;
+    const uint8_t* p = buf;
+    while (p < end) {
+        const uint8_t* q = (const uint8_t*)memmem(
+            p, (size_t)(end - p), sync, (size_t)sync_len);
+        if (!q || q + frame_bytes > end) break;
+        uint32_t inj = ((uint32_t)q[inj_off] << 24) |
+                       ((uint32_t)q[inj_off + 1] << 16) |
+                       ((uint32_t)q[inj_off + 2] << 8) |
+                       (uint32_t)q[inj_off + 3];
+        uint8_t vcid = (uint8_t)(q[vcid_off] & vcid_mask);
+        bool is_empty = (inj == inj_inval) && (vcid == vcid_empty);
+        if (is_empty) {
+            counts[1]++;
+            p = q + sync_len;
+            cursor = q - buf + sync_len;
+            continue;
+        }
+        bool ok_inj = (inj == inj_inval) || (inj == inj_valid);
+        if (ok_inj) {
+            uint16_t crc = crc16_run(q + hdr_off, crc_off - hdr_off, 0xFFFFu);
+            uint16_t stored =
+                (uint16_t)(((uint16_t)q[crc_off] << 8) | q[crc_off + 1]);
+            if (crc == stored) {
+                memcpy(payload_out + out, q + data_off, (size_t)data_bytes);
+                out += data_bytes;
+                counts[0]++;
+                p = q + frame_bytes;
+                cursor = q - buf + frame_bytes;
+                continue;
+            }
+        }
+        counts[2]++;
+        p = q + sync_len;
+        cursor = q - buf + sync_len;
+    }
+    *payload_bytes = out;
+    return cursor;
+}
+
+// ---------------------------------------------------------------------------
 // Gather fixed-size blocks at arbitrary byte offsets into a packed output
 // (payload extraction for validated frames).
 // ---------------------------------------------------------------------------

@@ -170,21 +170,34 @@ class AuxSeparator:
                     np.concatenate([carry, chunk]) if carry.size else chunk
                 )
                 carry = np.zeros(0, np.uint8)
-                res = aos.scan_aos_frames(buf)
-                n_valid += res.valid.size
-                n_empty += res.empty.size
-                n_invalid += res.invalid.size
+                nat = native.scan_aos(buf)
+                if nat is not None:
+                    # single-pass native sweep: memmem + validate + CRC +
+                    # payload copy with one traversal of the chunk
+                    payloads, nv, ne, ni, cursor = nat
+                    stream = payloads.reshape(-1)
+                else:
+                    res = aos.scan_aos_frames(buf)
+                    nv = res.valid.size
+                    ne = res.empty.size
+                    ni = res.invalid.size
+                    cursor = res.cursor
+                    stream = aos.extract_aos_payloads(
+                        buf, res.valid
+                    ).reshape(-1)
+                n_valid += nv
+                n_empty += ne
+                n_invalid += ni
                 if not eof:
                     # candidates needing bytes past the chunk end start
                     # within the last frame_bytes-1 bytes; a truncated sync
                     # marker within the last 3
                     keep = max(
-                        res.cursor,
+                        cursor,
                         buf.shape[0] - (aos.AOS_FRAME_BYTES - 1) - 3,
                     )
                     carry = buf[keep:].copy()
 
-                stream = aos.extract_aos_payloads(buf, res.valid).reshape(-1)
                 blob = (
                     np.concatenate([imtr_tail, stream])
                     if imtr_tail.size

@@ -55,6 +55,19 @@ def _load():
             ]
             lib.oip_byteswap16.restype = None
             lib.oip_byteswap16.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+            if hasattr(lib, "oip_scan_aos"):
+                lib.oip_scan_aos.restype = ctypes.c_int64
+                lib.oip_scan_aos.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int64,               # buf, n
+                    ctypes.c_void_p, ctypes.c_int64,               # sync
+                    ctypes.c_int64,                                # frame
+                    ctypes.c_int64, ctypes.c_uint8, ctypes.c_uint8,
+                    ctypes.c_int64, ctypes.c_uint32, ctypes.c_uint32,
+                    ctypes.c_int64, ctypes.c_int64,                # hdr, crc
+                    ctypes.c_int64, ctypes.c_int64,                # data
+                    ctypes.c_void_p, ctypes.c_void_p,              # out
+                    ctypes.c_void_p,                               # counts
+                ]
             lib.oip_deinterleave_bands.restype = None
             lib.oip_deinterleave_bands.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -239,3 +252,43 @@ def _lzw_decode_py(data: bytes, expected_size: int) -> bytes:
             if len(out) >= expected_size:
                 return bytes(out)
     return bytes(out)
+
+
+def scan_aos(buf: np.ndarray):
+    """Single-pass native AOS scan (oip_scan_aos): sync memmem +
+    VCID/injection/CRC validation + payload extraction in one sweep of the
+    chunk (the four-pass numpy route's cache-friendly replacement).
+
+    Returns (payload (n_valid, 880) u8, n_valid, n_empty, n_invalid,
+    cursor) or None when the native library is unavailable — callers fall
+    back to formats.aos.scan_aos_frames + extract_aos_payloads (identical
+    results, locked by test_native_scan_aos_matches_numpy).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "oip_scan_aos"):
+        return None
+    from ..formats import aos
+
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    n = buf.shape[0]
+    cap = (n // aos.AOS_FRAME_BYTES + 1) * aos.AOS_DATA_BYTES
+    payload = np.empty(cap, np.uint8)
+    nbytes = np.zeros(1, np.int64)
+    counts = np.zeros(3, np.int64)
+    sync = np.frombuffer(aos.SYNC_BYTES, np.uint8)
+    cursor = lib.oip_scan_aos(
+        buf.ctypes.data, n, sync.ctypes.data, len(aos.SYNC_BYTES),
+        aos.AOS_FRAME_BYTES,
+        aos.AOS_VCID_OFF, aos.AOS_VCID_MASK, aos.AOS_VCID_EMPTY,
+        aos.AOS_VCDUINJ_OFF, aos.AOS_VCDUINJ_VALID, aos.AOS_VCDUINJ_INVAL,
+        aos.AOS_HEADER_OFF, aos.AOS_CRC_OFF,
+        aos.AOS_DATA_OFF, aos.AOS_DATA_BYTES,
+        payload.ctypes.data, nbytes.ctypes.data, counts.ctypes.data,
+    )
+    n_valid = int(counts[0])
+    return (
+        payload[: n_valid * aos.AOS_DATA_BYTES].reshape(
+            n_valid, aos.AOS_DATA_BYTES
+        ),
+        n_valid, int(counts[1]), int(counts[2]), int(cursor),
+    )

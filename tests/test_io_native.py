@@ -218,3 +218,49 @@ def test_stage_report():
     assert "unit_test_stage" in rep
     assert rep["unit_test_stage"]["bytes"] == 1024
     assert rep["unit_test_stage"]["calls"] == 1
+
+
+def test_native_scan_aos_matches_numpy(rng):
+    """The single-pass native AOS scan (oip_scan_aos) reproduces the
+    vectorised numpy state machine exactly — counts, payload stream, and
+    resume cursor — including corrupt-CRC, empty, and truncated frames."""
+    if not native.native_available():
+        pytest.skip("native library unavailable")
+    from opticalimageprocessor_tpu.formats import aos
+
+    # synthetic stream: garbage + valid/empty/corrupt frames + a
+    # truncated trailing frame
+    parts = [rng.integers(0, 256, 57, dtype=np.uint8).tobytes()]
+    payloads = []
+    for i in range(40):
+        data = rng.integers(0, 256, aos.AOS_DATA_BYTES, dtype=np.uint8)
+        frame = bytearray(aos.build_aos_frame(bytes(data), vcdu_seq=i))
+        kind = i % 5
+        if kind == 3:
+            frame[aos.AOS_CRC_OFF] ^= 0xFF          # corrupt CRC
+        elif kind == 4:
+            frame[aos.AOS_VCID_OFF] |= aos.AOS_VCID_EMPTY
+            inj = aos.AOS_VCDUINJ_INVAL
+            frame[aos.AOS_VCDUINJ_OFF : aos.AOS_VCDUINJ_OFF + 4] = (
+                inj.to_bytes(4, "big")
+            )                                        # empty frame
+        else:
+            payloads.append(bytes(data))
+        parts.append(bytes(frame))
+        if i % 7 == 0:
+            parts.append(rng.integers(0, 256, 11, dtype=np.uint8).tobytes())
+    parts.append(aos.SYNC_BYTES + b"\x00" * 100)     # truncated at EOF
+    buf = np.frombuffer(b"".join(parts), np.uint8)
+
+    res = aos.scan_aos_frames(buf)
+    np_payload = aos.extract_aos_payloads(buf, res.valid)
+    nat = native.scan_aos(buf)
+    assert nat is not None
+    payload, nv, ne, ni, cursor = nat
+    # the empty-frame mutation can corrupt differently per seed; compare
+    # against whatever the numpy oracle says, field by field
+    assert nv == res.valid.size
+    assert ne == res.empty.size
+    assert ni == res.invalid.size
+    assert cursor == res.cursor
+    np.testing.assert_array_equal(payload, np_payload)
