@@ -67,9 +67,11 @@ class AuxSeparator:
     input_file: str
     offset: int = 0
     out_dir: str | None = None
-    # AOS scan chunk size: peak host RSS is ~2 chunks regardless of
-    # downlink size (the reference mmaps instead, aux_separator.h:407)
-    chunk_bytes: int = 0  # 0 -> OIP_AUXSEP_CHUNK env or 256 MB
+    # AOS scan chunk size: peak host RSS is a few chunks regardless of
+    # downlink size (the reference mmaps instead, aux_separator.h:407);
+    # modest chunks keep the one-time buffer page-fault cost low on
+    # sandboxed hosts while the reader thread hides the per-chunk IO
+    chunk_bytes: int = 0  # 0 -> OIP_AUXSEP_CHUNK env or 64 MB
 
     def __post_init__(self):
         self.is_imdt = self.input_file.upper().endswith(".IMDT")
@@ -96,7 +98,7 @@ class AuxSeparator:
             self.offset = adjusted
         if not self.chunk_bytes:
             self.chunk_bytes = int(
-                os.environ.get("OIP_AUXSEP_CHUNK", 256 << 20)
+                os.environ.get("OIP_AUXSEP_CHUNK", 64 << 20)
             )
         self._pool = None
 
@@ -112,33 +114,41 @@ class AuxSeparator:
         """Producer: read fixed-size chunks on a dedicated thread into a
         bounded queue — the reference's 2-thread producer/consumer overlap
         of file IO with scanning (aux_separator.h:233-238), with RSS still
-        bounded (~1 in-flight chunk + ~2 being scanned).  Yields
-        (data, eof) pairs in order."""
+        bounded.  Chunks live in a fixed pool of 3 reusable buffers
+        (readinto), so the big allocations are page-faulted once, not per
+        chunk; the consumer returns each buffer to the pool when done.
+        Yields (data u8 array view, eof) pairs in order.
+        """
         import queue
         import threading
 
         q: queue.Queue = queue.Queue(maxsize=1)
+        pool: queue.Queue = queue.Queue()
+        for _ in range(3):
+            pool.put(np.empty(self.chunk_bytes, np.uint8))
 
         def reader():
             try:
                 with open(self.input_file, "rb") as f:
                     f.seek(self.offset)
                     while True:
-                        data = f.read(self.chunk_bytes)
-                        eof = len(data) < self.chunk_bytes
-                        q.put((data, eof, None))
+                        buf = pool.get()
+                        n = f.readinto(memoryview(buf))
+                        eof = n < self.chunk_bytes
+                        q.put((buf, n, eof, None))
                         if eof:
                             break
             except Exception as e:  # noqa: BLE001 — surfaced to consumer
-                q.put((b"", True, e))
+                q.put((None, 0, True, e))
 
         t = threading.Thread(target=reader, name="aos-reader", daemon=True)
         t.start()
         while True:
-            data, eof, err = q.get()
+            buf, n, eof, err = q.get()
             if err is not None:
                 raise err
-            yield data, eof
+            yield buf[:n], eof
+            pool.put(buf)          # done with this chunk: recycle
             if eof:
                 break
         t.join()
@@ -161,16 +171,24 @@ class AuxSeparator:
         n_payload = 0
         chid = 0
         f_imdt = None
+        # reusable work + payload buffers: page-faulted once, not per chunk
+        workbuf = np.empty(self.chunk_bytes + 4096, np.uint8)
+        scan_out = np.empty(
+            (workbuf.size // aos.AOS_FRAME_BYTES + 1) * aos.AOS_DATA_BYTES,
+            np.uint8,
+        )
         with stage("aos_scan", max(total, 0)):
-            for data, eof in self._read_chunks():
-                if not data and not carry.size:
+            for chunk, eof in self._read_chunks():
+                if chunk.size == 0 and not carry.size:
                     break
-                chunk = np.frombuffer(data, dtype=np.uint8)
-                buf = (
-                    np.concatenate([carry, chunk]) if carry.size else chunk
-                )
+                if carry.size:
+                    buf = workbuf[: carry.size + chunk.size]
+                    buf[: carry.size] = carry
+                    buf[carry.size :] = chunk
+                else:
+                    buf = chunk
                 carry = np.zeros(0, np.uint8)
-                nat = native.scan_aos(buf)
+                nat = native.scan_aos(buf, scan_out)
                 if nat is not None:
                     # single-pass native sweep: memmem + validate + CRC +
                     # payload copy with one traversal of the chunk

@@ -254,10 +254,17 @@ def _lzw_decode_py(data: bytes, expected_size: int) -> bytes:
     return bytes(out)
 
 
-def scan_aos(buf: np.ndarray):
+def scan_aos(buf: np.ndarray, out: np.ndarray | None = None):
     """Single-pass native AOS scan (oip_scan_aos): sync memmem +
     VCID/injection/CRC validation + payload extraction in one sweep of the
     chunk (the four-pass numpy route's cache-friendly replacement).
+
+    ``out`` is an optional reusable payload buffer (capacity >=
+    ``(len(buf)//1024 + 1) * 880`` bytes): chunked callers pass the same
+    buffer every chunk so the large allocation is page-faulted once, not
+    per chunk (cold anonymous-page faults are expensive in sandboxed
+    hosts).  The returned payload view aliases ``out`` — consume it
+    before the next call.
 
     Returns (payload (n_valid, 880) u8, n_valid, n_empty, n_invalid,
     cursor) or None when the native library is unavailable — callers fall
@@ -272,7 +279,10 @@ def scan_aos(buf: np.ndarray):
     buf = np.ascontiguousarray(buf, dtype=np.uint8)
     n = buf.shape[0]
     cap = (n // aos.AOS_FRAME_BYTES + 1) * aos.AOS_DATA_BYTES
-    payload = np.empty(cap, np.uint8)
+    if out is not None and out.size >= cap:
+        payload = out
+    else:
+        payload = np.empty(cap, np.uint8)
     nbytes = np.zeros(1, np.int64)
     counts = np.zeros(3, np.int64)
     sync = np.frombuffer(aos.SYNC_BYTES, np.uint8)
