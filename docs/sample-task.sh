@@ -41,6 +41,11 @@ oiptpu stitch --image1 CMOS1.PAN.RRC.RAW --image2 CMOS2.PAN.RRC.PRESTT.RAW \
 #     --rrc-m2b3 rrc2_b3.txt --rrc-m2b4 rrc2_b4.txt \
 #     -c 200 -o FULL.PAN.STT.TIFF --out-mss FULL.MSS.TIFF
 
-# --- or: SPMD over an N-chip mesh (align and prestitch support --mesh) ---
+# --- or: SPMD over an N-chip mesh (align, prestitch AND scene) ---
 # oiptpu prestitch --mesh 8 ...
 # oiptpu --mesh 8 --pan ... --mss ...
+# oiptpu scene --mesh 8 --pan1 ... --pan2 ... --mss ...
+
+# --- or: scenes larger than device memory, streamed in sections
+#         (bit-identical outputs to the resident scene run) ---
+# oiptpu scene --stream --pan1 ... --pan2 ... --mss ...

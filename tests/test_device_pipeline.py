@@ -330,3 +330,37 @@ def test_stt_sections_exceed_strip_raises(rng):
     pan = jnp.asarray(rng.integers(0, 65536, (512, 640), dtype=np.uint16))
     with pytest.raises(ValueError, match="less than sections times"):
         dp.stt_estimate_fast(pan, pan, sections=10, overlap_cols=32)
+
+
+def test_stt_windowed_peak_beyond_window_fails_loudly(rng):
+    """stt counterpart of the register window-edge check: a mounting
+    offset beyond the fast peak's +-win window must surface as ZERO valid
+    sections (the reference's 'No valid delta value found' hard error),
+    never as a silently wrong small translation."""
+    lines, width, ov, win = 1024, 512, 64, 8
+    wide = rng.integers(2000, 42000, (lines + 64, 2 * width)).astype(np.uint16)
+    pan1 = np.ascontiguousarray(wide[32 : 32 + lines, :width])
+
+    def pair(dx, dy):
+        return np.ascontiguousarray(
+            wide[32 - dy : 32 - dy + lines,
+                 width - ov + dx : 2 * width - ov + dx]
+        )
+
+    # inside the window: registers accurately
+    dxv, dyv, _, n = stt_estimate_fast(
+        jnp.asarray(pan1), jnp.asarray(pair(3, 2)), sections=2,
+        overlap_cols=ov, win=(win, win),
+    )
+    check_stt_valid(n)
+    assert abs(float(dxv) + 3.0) < 0.2 and abs(float(dyv) - 2.0) < 0.2
+
+    # beyond the window (|dx| = 20 > 8): every section must fail the
+    # response filter -> loud error
+    _, _, _, n0 = stt_estimate_fast(
+        jnp.asarray(pan1), jnp.asarray(pair(20, 0)), sections=2,
+        overlap_cols=ov, win=(win, win),
+    )
+    assert int(n0) == 0, int(n0)
+    with pytest.raises(RuntimeError, match="No valid delta value"):
+        check_stt_valid(n0)
