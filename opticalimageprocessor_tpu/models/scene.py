@@ -44,18 +44,25 @@ from ..io import tiff as tiff_io
 from ..utils.logging import olog, stage
 
 
-def _row_blocks(arr):
+def _row_blocks(arr, total_rows: int | None = None):
     """Yield the rows of a device array as host blocks in line order: one
     block per addressable shard for a line-sharded array (never
-    materialising the whole raster), or the whole array on one device."""
+    materialising the whole raster), or the whole array on one device.
+    ``total_rows`` trims the mesh-padding rows at the strip bottom
+    (sharded arrays are padded to the mesh size)."""
+    if total_rows is None:
+        total_rows = arr.shape[0]
     shards = getattr(arr, "addressable_shards", None)
     if shards is not None and len(shards) > 1:
         for sh in sorted(
             shards, key=lambda s: s.index[0].start or 0
         ):
-            yield np.asarray(sh.data)
+            a = sh.index[0].start or 0
+            if a >= total_rows:
+                break
+            yield np.asarray(sh.data)[: total_rows - a]
     else:
-        yield np.asarray(arr)
+        yield np.asarray(arr)[:total_rows]
 
 
 def run_scene(
@@ -140,10 +147,10 @@ def run_scene(
     def load_pan(strip):
         if mesh_obj is None:
             return jnp.asarray(np.asarray(strip))
-        return jax.make_array_from_callback(
-            (strip.lines, pixels_per_line),
-            NamedSharding(mesh_obj, P(LINE_AXIS, None)),
-            lambda idx: np.ascontiguousarray(strip._mm[idx]),
+        from ..parallel.sharded import ingest_line_sharded
+
+        return ingest_line_sharded(
+            mesh_obj, strip._mm, strip.lines, 0, P(LINE_AXIS, None)
         )
 
     def load_bands(strip):
@@ -153,10 +160,10 @@ def run_scene(
         )
         if mesh_obj is None:
             return jnp.asarray(np.ascontiguousarray(view))
-        return jax.make_array_from_callback(
-            (MSS_BANDS, strip.lines, band_px),
-            NamedSharding(mesh_obj, P(None, LINE_AXIS, None)),
-            lambda idx: np.ascontiguousarray(view[idx]),
+        from ..parallel.sharded import ingest_line_sharded
+
+        return ingest_line_sharded(
+            mesh_obj, view, strip.lines, 1, P(None, LINE_AXIS, None)
         )
 
     def band_params(files):
@@ -208,11 +215,11 @@ def run_scene(
 
     order = [2, 1, 0, 3] if bgr_tiff_order else [0, 1, 2, 3]
 
-    def write_aligned_tiff(path, arr):
+    def write_aligned_tiff(path, arr, rows):
         writer = tiff_io.TiffStripWriter(
-            path, band_px, arr.shape[0], samples=MSS_BANDS
+            path, band_px, rows, samples=MSS_BANDS
         )
-        for blk in _row_blocks(arr):
+        for blk in _row_blocks(arr, rows):
             writer.write_rows(blk[:, :, order])
         writer.close()
 
@@ -220,7 +227,7 @@ def run_scene(
         mss_file, IBPA_STEM_EXT, TIFF_FILE_EXT, out_dir=out_dir
     )
     with stage("scene_write_aligned", aligned.size * 2):
-        write_aligned_tiff(aligned_path, aligned)
+        write_aligned_tiff(aligned_path, aligned, ms.lines)
     olog("Aligned MSS written to %s", aligned_path)
 
     st_w = int(stitched.shape[1])
@@ -232,14 +239,14 @@ def run_scene(
     with stage("scene_write_stitched", stitched.size * 2):
         if os.path.splitext(out_stitched)[1].lower() in (".tiff", ".tif"):
             writer = tiff_io.TiffStripWriter(
-                out_stitched, st_w, stitched.shape[0], samples=1
+                out_stitched, st_w, p1.lines, samples=1
             )
-            for blk in _row_blocks(stitched):
+            for blk in _row_blocks(stitched, p1.lines):
                 writer.write_rows(blk)
             writer.close()
         else:
             writer = raw_io.RawStripWriter(out_stitched, st_w)
-            for blk in _row_blocks(stitched):
+            for blk in _row_blocks(stitched, p1.lines):
                 writer.write_lines(blk)
             writer.close()
     olog("Stitched PAN written to %s", out_stitched)
@@ -274,7 +281,7 @@ def run_scene(
         mss2_file, IBPA_STEM_EXT, TIFF_FILE_EXT, out_dir=out_dir
     )
     with stage("scene_write_aligned2", aligned2.size * 2):
-        write_aligned_tiff(aligned2_path, aligned2)
+        write_aligned_tiff(aligned2_path, aligned2, ms2.lines)
     olog("Aligned MSS (CMOS2) written to %s", aligned2_path)
 
     # stitch the aligned MSS pair: MSS fold columns are PAN's / 4
@@ -287,11 +294,13 @@ def run_scene(
         )
     with stage("scene_write_stitched_mss", aligned.size * 4):
         writer = tiff_io.TiffStripWriter(
-            out_stitched_mss, 2 * half, aligned.shape[0],
+            out_stitched_mss, 2 * half, ms.lines,
             samples=MSS_BANDS,
         )
         # both rasters share the mesh/sharding, so their row blocks pair up
-        for b1, b2 in zip(_row_blocks(aligned), _row_blocks(aligned2)):
+        for b1, b2 in zip(
+            _row_blocks(aligned, ms.lines), _row_blocks(aligned2, ms2.lines)
+        ):
             writer.write_rows(
                 np.concatenate(
                     [

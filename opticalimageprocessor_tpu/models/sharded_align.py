@@ -113,22 +113,22 @@ def run_sharded_align(
     n_dev = mesh.shape[LINE_AXIS]
     olog("Sharded align over %d-device '%s' mesh.", n_dev, LINE_AXIS)
 
-    # shard-by-shard ingest straight from the memory maps: the callback is
+    # shard-by-shard ingest straight from the memory maps (zero-padded to
+    # the mesh size — arbitrary strip lengths shard evenly; the step masks
+    # the pad rows post-RRC and the drains trim them): the callback is
     # invoked once per device with that device's index window, so host RSS
     # is bounded by one shard
+    from ..parallel.sharded import ingest_line_sharded
+
     with stage("shard_ingest", pan.nbytes + mss.nbytes):
-        pan_arr = jax.make_array_from_callback(
-            (pan.lines, pixels_per_line),
-            NamedSharding(mesh, P(LINE_AXIS, None)),
-            lambda idx: np.ascontiguousarray(pan._mm[idx]),
+        pan_arr = ingest_line_sharded(
+            mesh, pan._mm, pan.lines, 0, P(LINE_AXIS, None)
         )
         mss_view = mss._mm.reshape(mss.lines, MSS_BANDS, band_px).transpose(
             1, 0, 2
         )
-        mss_arr = jax.make_array_from_callback(
-            (MSS_BANDS, mss.lines, band_px),
-            NamedSharding(mesh, P(None, LINE_AXIS, None)),
-            lambda idx: np.ascontiguousarray(mss_view[idx]),
+        mss_arr = ingest_line_sharded(
+            mesh, mss_view, mss.lines, 1, P(None, LINE_AXIS, None)
         )
 
     step = make_align_step(
@@ -136,7 +136,10 @@ def run_sharded_align(
         quantized=quantized_coords, want_pan_c=write_rrcpan,
     )
     with stage("sharded_align", pan.nbytes + mss.nbytes):
-        outs = step(pan_arr, mss_arr, pan_params, mss_params, line_offset)
+        outs = step(
+            pan_arr, mss_arr, pan_params, mss_params, line_offset,
+            real_lines_pan=pan.lines,
+        )
         aligned, coeff_x, coeff_y = outs[:3]
         aligned.block_until_ready()
     if write_rrcpan:
@@ -157,7 +160,7 @@ def run_sharded_align(
                 pan_c.addressable_shards, key=lambda s: s.index[0].start or 0
             ):
                 a = sh.index[0].start or 0
-                b = sh.index[0].stop or pan.lines
+                b = min(sh.index[0].stop or pan.lines, pan.lines)
                 lo = max(a, line_offset)
                 if lo >= b:
                     continue
@@ -174,11 +177,12 @@ def run_sharded_align(
             coeff_y[b, 2], coeff_y[b, 1], coeff_y[b, 0],
         )
 
-    total_rows = aligned.shape[0]
+    # real output rows: the step returns mesh-padded rows at the bottom
+    total_rows = mss.lines - line_offset
     start = 0 if keep_leading_lines else section_overlap
     out_rows = total_rows - start
     if not write_tiff:
-        return np.asarray(aligned)[start:]
+        return np.asarray(aligned)[start:total_rows]
 
     path = build_output_file_path(
         mss_file, IBPA_STEM_EXT, TIFF_FILE_EXT, out_dir=out_dir
@@ -195,7 +199,7 @@ def run_sharded_align(
         )
         for sh in shards:
             a = sh.index[0].start or 0
-            b = sh.index[0].stop or total_rows
+            b = min(sh.index[0].stop or total_rows, total_rows)
             lo = max(a, start)
             if lo >= b:
                 continue

@@ -40,11 +40,16 @@ from ..utils.logging import olog, stage
 from .stitcher import Stitcher, average_valid_deltas
 
 
-def _drain_to_raw(arr, path: str, pixels_per_line: int, stage_name: str):
+def _drain_to_raw(
+    arr, path: str, pixels_per_line: int, stage_name: str,
+    total: int | None = None,
+):
     """Write a line-sharded device array to a RAW file shard-by-shard in
-    line order (host RSS bounded by one shard)."""
+    line order (host RSS bounded by one shard).  ``total`` trims the
+    mesh-padding rows at the strip bottom."""
     writer = raw_io.RawStripWriter(path, pixels_per_line)
-    total = arr.shape[0]
+    if total is None:
+        total = arr.shape[0]
     with stage(stage_name, total * pixels_per_line * 2):
         shards = sorted(
             arr.addressable_shards, key=lambda s: s.index[0].start or 0
@@ -96,15 +101,16 @@ def run_sharded_prestitch(
 
     p1 = raw_io.RawStrip(pan1, pixels_per_line)
     p2 = raw_io.RawStrip(pan2, pixels_per_line)
-    sharding = NamedSharding(mesh, P(LINE_AXIS, None))
+    from ..parallel.sharded import ingest_line_sharded
+
+    # zero-padded to the mesh size: arbitrary strip lengths shard evenly
+    # (pad rows masked post-RRC below, trimmed on drain)
     with stage("shard_ingest", p1.nbytes + p2.nbytes):
-        pan1_arr = jax.make_array_from_callback(
-            (p1.lines, pixels_per_line), sharding,
-            lambda idx: np.ascontiguousarray(p1._mm[idx]),
+        pan1_arr = ingest_line_sharded(
+            mesh, p1._mm, p1.lines, 0, P(LINE_AXIS, None)
         )
-        pan2_arr = jax.make_array_from_callback(
-            (p2.lines, pixels_per_line), sharding,
-            lambda idx: np.ascontiguousarray(p2._mm[idx]),
+        pan2_arr = ingest_line_sharded(
+            mesh, p2._mm, p2.lines, 0, P(LINE_AXIS, None)
         )
 
     correlate, rrc_fn, remap = make_prestitch_step(
@@ -115,7 +121,7 @@ def run_sharded_prestitch(
     gap = (st.lines_pan - sections * line_per_section) // (sections + 1)
     offs = [gap + i * (gap + line_per_section) for i in range(sections)]
     with stage("stt_correlate_sharded"):
-        dxs, dys, rss = correlate(pan1_arr, pan2_arr)
+        dxs, dys, rss = correlate(pan1_arr, pan2_arr, real_lines=p1.lines)
     delta_x, delta_y, _resp = average_valid_deltas(
         np.asarray(dxs), np.asarray(dys), np.asarray(rss), offs,
         threshold, max_delta_y,
@@ -135,12 +141,21 @@ def run_sharded_prestitch(
                 raise ValueError("RRC parameter file needed")
             params = np.asarray(load_split_params(par, pixels_per_line))
             corrected = rrc_fn(arr, params)
+            if corrected.shape[0] != p2.lines:
+                # mesh-padding rows: RRC of the zero fill is the bias —
+                # mask back to border-0 (they feed the remap's halo)
+                import jax.numpy as jnp
+
+                rows = jnp.arange(corrected.shape[0])
+                corrected = jnp.where(
+                    (rows < p2.lines)[:, None], corrected, jnp.uint16(0)
+                )
             dst = build_output_file_path(
                 src_path, RRC_STEM_EXT, out_dir=out_dir
             )
             _drain_to_raw(
                 corrected, dst, pixels_per_line,
-                f"rrc_sharded:{out_attr}",
+                f"rrc_sharded:{out_attr}", total=p2.lines,
             )
             setattr(st, out_attr, dst)
             if src_path == pan2:
@@ -154,6 +169,8 @@ def run_sharded_prestitch(
     with stage("prestitch_sharded", p2.nbytes):
         prestt = remap(prestt_src, delta_x, delta_y)
         prestt.block_until_ready()
-    _drain_to_raw(prestt, out_path, pixels_per_line, "write_prestt")
+    _drain_to_raw(
+        prestt, out_path, pixels_per_line, "write_prestt", total=p2.lines
+    )
     olog("Pre-stitched PAN2 (sharded) written to file '%s'.", out_path)
     return delta_x, delta_y, out_path

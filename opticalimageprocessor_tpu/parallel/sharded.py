@@ -56,6 +56,51 @@ from .mesh import LINE_AXIS
 ROW_OFF_BOUND = 6
 
 
+def pad_to(mesh: Mesh, rows: int) -> int:
+    """Rows rounded up to the mesh size: line-sharded arrays must divide
+    the mesh evenly (uneven NamedShardings are rejected), so strips of
+    arbitrary length are zero-padded at the bottom on ingest, masked to
+    border-0 post-RRC on device, and trimmed on drain."""
+    n = mesh.shape[LINE_AXIS]
+    return -(-rows // n) * n
+
+
+def ingest_line_sharded(
+    mesh: Mesh,
+    view: np.ndarray,
+    real_rows: int,
+    rows_axis: int,
+    pspec: P,
+):
+    """Shard-by-shard ingest of a host array view onto the line mesh,
+    zero-filling the mesh-padding rows beyond ``real_rows``.  The
+    callback is invoked once per device with that device's index window,
+    so host RSS stays bounded by one shard."""
+    shape = list(view.shape)
+    shape[rows_axis] = pad_to(mesh, real_rows)
+
+    def take(idx):
+        sl = idx[rows_axis]
+        a = sl.start or 0
+        b = sl.stop if sl.stop is not None else shape[rows_axis]
+        if b > real_rows:
+            idx_real = list(idx)
+            idx_real[rows_axis] = slice(min(a, real_rows), real_rows)
+            part = np.ascontiguousarray(view[tuple(idx_real)])
+            out_shape = list(part.shape)
+            out_shape[rows_axis] = b - a
+            out = np.zeros(out_shape, view.dtype)
+            sel = [slice(None)] * len(out_shape)
+            sel[rows_axis] = slice(0, part.shape[rows_axis])
+            out[tuple(sel)] = part
+            return out
+        return np.ascontiguousarray(view[idx])
+
+    return jax.make_array_from_callback(
+        tuple(shape), NamedSharding(mesh, pspec), take
+    )
+
+
 def remap_band_dynamic(
     band_local: jax.Array,
     coeff_x: jax.Array,
@@ -613,11 +658,13 @@ def make_prestitch_step(
     """
     use_mxu = all(d.platform == "tpu" for d in mesh.devices.flat)
 
-    def correlate(pan1, pan2):
+    def correlate(pan1, pan2, real_lines: int | None = None):
+        # real_lines: the strip's true length when inputs arrive padded
+        # to the mesh size (window geometry must use the real length)
         lines_pan, width = pan1.shape
         fn = _make_stt_correlate_fn(
-            mesh, lines_pan, width, sections, line_per_section,
-            overlap_cols, edge_cols, use_mxu,
+            mesh, real_lines or lines_pan, width, sections,
+            line_per_section, overlap_cols, edge_cols, use_mxu,
         )
         return fn(pan1, pan2)
 
@@ -672,19 +719,35 @@ def make_align_step(
 
     use_mxu = all(d.platform == "tpu" for d in mesh.devices.flat)
 
-    def step(pan, mss, pan_params, mss_params, line_offset: int = 0):
+    def step(
+        pan, mss, pan_params, mss_params, line_offset: int = 0,
+        real_lines_pan: int | None = None,
+    ):
+        """``real_lines_pan``: the strip's true length when the inputs
+        arrive zero-padded to the mesh size (line-sharded arrays must
+        divide the mesh evenly); sampling geometry uses the real length
+        and the pad rows are masked to border-0 post-RRC."""
         lines_pan, width = pan.shape
         lines_mss = mss.shape[1]
-        nsec = sections if sections is not None else auto_sections(lines_pan)
-        *_, centers = section_geometry(lines_pan, width, slices, nsec)
+        real_pan = real_lines_pan or lines_pan
+        real_mss = real_pan // MSS_BANDS
+        nsec = sections if sections is not None else auto_sections(real_pan)
+        *_, centers = section_geometry(real_pan, width, slices, nsec)
 
         correlate = _make_correlate_fn(
-            mesh, lines_pan, width, lines_mss, slices, nsec, use_mxu,
+            mesh, real_pan, width, lines_mss, slices, nsec, use_mxu,
             want_pan_c,
         )
         outs = correlate(pan, mss, pan_params, mss_params)
         mss_c, dx, dy, rs = outs[:4]
         pan_c = outs[4] if want_pan_c else None
+        if real_mss != lines_mss:
+            # mesh-padding rows must read border-0 in the resample's
+            # halo (RRC of the zero fill is the bias, not 0)
+            rows_m = jnp.arange(lines_mss)
+            mss_c = jnp.where(
+                (rows_m < real_mss)[None, :, None], mss_c, jnp.uint16(0)
+            )
 
         dx = np.asarray(dx, np.float64)      # (T, 4)
         dy = np.asarray(dy, np.float64)

@@ -44,7 +44,7 @@ from ..constants import CORRELATION_LINES, IBCV_DEF_THRESHOLD, MSS_BANDS
 from ..ops import phasecorr, resample
 from .halo import exchange_halo
 from .mesh import LINE_AXIS
-from .sharded import _rrc_jnp
+from .sharded import _rrc_jnp, pad_to  # noqa: F401 — pad_to re-exported
 
 
 def _pad_tile_axis(t: jax.Array, t_total: int, t_pad: int) -> jax.Array:
@@ -125,22 +125,35 @@ def _windowed_peak_tile(p, bs, pad, brows, use_fused, win):
     return tuple(jnp.stack([o[k] for o in outs]) for k in range(3))
 
 
-def _correlate_sharded(mesh, pan_c, mss_c, g: _RegGeom, use_fused, win):
+def _correlate_sharded(
+    mesh, pan_c, mss_c, g: _RegGeom, use_fused, win, pan_params=None
+):
     """Extract the tile grid from line-sharded strips, redistribute over
     the tile axis, run the fast windowed peaks under shard_map.
-    Returns (dx, dy, rs) each (T, 4), replicated."""
+    Returns (dx, dy, rs) each (T, 4), replicated.
+
+    With ``pan_params`` the PAN input is the RAW strip and each sampled
+    tile is RRC'd at extraction (static per-tile column params slice) —
+    the flagship pipeline's structure: the corrected strip is never
+    materialised."""
     n_dev = mesh.shape[LINE_AXIS]
     t_pad = -(-g.t_total // n_dev) * n_dev
     pad = (g.corr_rows, g.cols)
     win = phasecorr.clamp_win(win, pad)
 
+    def pan_tile(sec, i):
+        t = jax.lax.slice(
+            pan_c,
+            (sec * g.sec_stride, i * g.cols),
+            (sec * g.sec_stride + g.corr_rows, (i + 1) * g.cols),
+        )
+        if pan_params is not None:
+            t = _rrc_jnp(t, pan_params[:, i * g.cols : (i + 1) * g.cols])
+        return t
+
     pan_tiles = jnp.stack(
         [
-            jax.lax.slice(
-                pan_c,
-                (sec * g.sec_stride, i * g.cols),
-                (sec * g.sec_stride + g.corr_rows, (i + 1) * g.cols),
-            )
+            pan_tile(sec, i)
             for sec in range(g.n_sections)
             for i in range(g.slices)
         ]
@@ -264,11 +277,20 @@ def make_sharded_scene_fn(
     pan1_params, pan2_params, mss_params) -> (aligned, stitched[, prestt],
     n_valid_register, n_valid_stt) — with the strip inputs line-sharded
     and the raster outputs line-sharded (drain via addressable_shards).
+
+    Strip-length contract: line-sharded arrays must divide the mesh
+    evenly, so callers ZERO-PAD the strips at the bottom to
+    ``pad_to(mesh, lines)`` rows (``lines_pan`` here is the REAL strip
+    length; the program masks the pad rows to border-0 post-RRC) and
+    trim the outputs — which come back at the padded length — when
+    draining.
     """
     f32 = jnp.float32
     n_dev = mesh.shape[LINE_AXIS]
     use_fused = all(d.platform == "tpu" for d in mesh.devices.flat)
     lines_mss = lines_pan // MSS_BANDS
+    lines_pan_pad = pad_to(mesh, lines_pan)
+    lines_mss_pad = pad_to(mesh, lines_mss)
     geom = _RegGeom.build(lines_pan, width, slices, n_sections)
     use_fused = use_fused and geom.brows % 8 == 0
 
@@ -354,13 +376,21 @@ def make_sharded_scene_fn(
         )
 
     def pipeline(pan1, pan2, mss, pan1_params, pan2_params, mss_params):
-        pan1_c = _rrc_jnp(pan1, pan1_params)
-        pan2_c = _rrc_jnp(pan2, pan2_params)
+        # flagship structure: the corrected PAN strips are never
+        # materialised — registration RRCs its sampled tiles at
+        # extraction, and the remap shard_map RRCs per shard (halo rows
+        # exchange post-RRC, so strip-end zeros stay border-0 semantics)
         mss_c = jnp.stack(
             [_rrc_jnp(mss[b], mss_params[b]) for b in range(MSS_BANDS)]
         )
+        if lines_mss_pad != lines_mss:
+            # zero-filled pad rows must stay border-0 post-RRC
+            rows_m = jnp.arange(lines_mss_pad)
+            mss_c = jnp.where(
+                (rows_m < lines_mss)[None, :, None], mss_c, jnp.uint16(0)
+            )
         dx, dy, rs = _correlate_sharded(
-            mesh, pan1_c, mss_c, geom, use_fused, win
+            mesh, pan1, mss_c, geom, use_fused, win, pan_params=pan1_params
         )
         coeff_x, coeff_y, n_valid = _fit_bands(
             geom.centers, dx, dy, rs, threshold
@@ -372,26 +402,34 @@ def make_sharded_scene_fn(
             dys, -(prestt_row_bound - 2.0), prestt_row_bound - 2.0
         )
 
-        # --- remaps + concat: one shard_map with ppermute halos
-        pad_pan = (-lines_pan) % n_dev
-        pad_mss = (-lines_mss) % n_dev
-        p1p, p2p, msp = pan1_c, pan2_c, mss_c
-        if pad_pan:
-            p1p = jnp.pad(p1p, ((0, pad_pan), (0, 0)))
-            p2p = jnp.pad(p2p, ((0, pad_pan), (0, 0)))
-        if pad_mss:
-            msp = jnp.pad(msp, ((0, 0), (0, pad_mss), (0, 0)))
-        loc_pan = (lines_pan + pad_pan) // n_dev
-        loc_mss = (lines_mss + pad_mss) // n_dev
+        # --- remaps + concat: one shard_map with ppermute halos; RRC of
+        # both PANs happens per shard inside it (inputs arrive padded to
+        # the mesh; the pad rows are masked to border-0 post-RRC)
+        loc_pan = lines_pan_pad // n_dev
+        loc_mss = lines_mss_pad // n_dev
 
-        def local(p1_l, p2_l, mss_l, cxs, cys, dxv, dyv):
+        def local(p1_l, p2_l, mss_l, p1par, p2par, cxs, cys, dxv, dyv):
             aligned_l = _align_local(
                 mss_l, cxs, cys, loc_mss, chunk_rows, row_bound,
                 col_block, col_halo,
             )
+            p1c_l = _rrc_jnp(p1_l, p1par)
+            p2c_l = _rrc_jnp(p2_l, p2par)
+            if lines_pan_pad != lines_pan:
+                # the zero-filled bottom pad rows must read border-0
+                # post-RRC (they feed the last real shard's halo)
+                g_rows = (
+                    jax.lax.axis_index(LINE_AXIS) * loc_pan
+                    + jnp.arange(loc_pan)
+                )
+                p2c_l = jnp.where(
+                    (g_rows < lines_pan)[:, None], p2c_l, jnp.uint16(0)
+                )
             phalo = prestt_row_bound + 2
+            # halo exchange AFTER RRC: strip-end zeros stay the
+            # resample's border value 0 (RRC(0) = bias otherwise)
             p2_padded = resample.pad_for_fast_remap(
-                exchange_halo(p2_l, phalo, phalo, LINE_AXIS),
+                exchange_halo(p2c_l, phalo, phalo, LINE_AXIS),
                 loc_pan, chunk_rows, prestt_row_bound,
             )
             prestt_l = resample._remap_const_over_padded(
@@ -399,7 +437,7 @@ def make_sharded_scene_fn(
                 prestt_row_bound, col_block, col_halo,
             )
             stitched_l = jnp.concatenate(
-                [p1_l[:, : width - fold], prestt_l[:, fold:]], axis=1
+                [p1c_l[:, : width - fold], prestt_l[:, fold:]], axis=1
             )
             return aligned_l, stitched_l, prestt_l
 
@@ -410,7 +448,7 @@ def make_sharded_scene_fn(
                 P(LINE_AXIS, None),
                 P(LINE_AXIS, None),
                 P(None, LINE_AXIS, None),
-                P(), P(), P(), P(),
+                P(), P(), P(), P(), P(), P(),
             ),
             out_specs=(
                 P(LINE_AXIS, None, None),
@@ -418,12 +456,10 @@ def make_sharded_scene_fn(
                 P(LINE_AXIS, None),
             ),
             check_vma=False,
-        )(p1p, p2p, msp, coeff_x, coeff_y, dxs, dys)
-        if pad_mss:
-            aligned = aligned[:lines_mss]
-        if pad_pan:
-            stitched = stitched[:lines_pan]
-            prestt = prestt[:lines_pan]
+        )(pan1, pan2, mss_c, pan1_params, pan2_params, coeff_x, coeff_y,
+          dxs, dys)
+        # outputs stay at the padded length (uneven shardings are not
+        # representable); drains trim to the real row counts
         if return_prestt:
             return aligned, stitched, prestt, n_valid, n_stt
         return aligned, stitched, n_valid, n_stt
@@ -464,12 +500,15 @@ def make_sharded_mss_align_fn(
     against an already-corrected (line-sharded) PAN raster — the CMOS2
     half of the full sample-task workflow (``scene --mesh --mss2``).
 
-    signature: (pan_c u16 (L, W) line-sharded, mss u16 (4, L/4, W/4),
-    mss_params) -> (aligned (L/4, W/4, 4) line-sharded, n_valid (4,)).
+    signature: (pan_c u16 (L_pad, W) line-sharded, mss u16
+    (4, L_pad/4, W/4), mss_params) -> (aligned (L_pad/4, W/4, 4)
+    line-sharded, n_valid (4,)).  Same padded-strip contract as
+    :func:`make_sharded_scene_fn` (``lines_pan`` = real length).
     """
     n_dev = mesh.shape[LINE_AXIS]
     use_fused = all(d.platform == "tpu" for d in mesh.devices.flat)
     lines_mss = lines_pan // MSS_BANDS
+    lines_mss_pad = pad_to(mesh, lines_mss)
     geom = _RegGeom.build(lines_pan, width, slices, n_sections)
     use_fused = use_fused and geom.brows % 8 == 0
 
@@ -477,17 +516,18 @@ def make_sharded_mss_align_fn(
         mss_c = jnp.stack(
             [_rrc_jnp(mss[b], mss_params[b]) for b in range(MSS_BANDS)]
         )
+        if lines_mss_pad != lines_mss:
+            rows_m = jnp.arange(lines_mss_pad)
+            mss_c = jnp.where(
+                (rows_m < lines_mss)[None, :, None], mss_c, jnp.uint16(0)
+            )
         dx, dy, rs = _correlate_sharded(
             mesh, pan_c, mss_c, geom, use_fused, win
         )
         coeff_x, coeff_y, n_valid = _fit_bands(
             geom.centers, dx, dy, rs, threshold
         )
-
-        pad_mss = (-lines_mss) % n_dev
-        if pad_mss:
-            mss_c = jnp.pad(mss_c, ((0, 0), (0, pad_mss), (0, 0)))
-        loc_mss = (lines_mss + pad_mss) // n_dev
+        loc_mss = lines_mss_pad // n_dev
 
         aligned = jax.shard_map(
             lambda mss_l, cxs, cys: _align_local(
@@ -499,8 +539,6 @@ def make_sharded_mss_align_fn(
             out_specs=P(LINE_AXIS, None, None),
             check_vma=False,
         )(mss_c, coeff_x, coeff_y)
-        if pad_mss:
-            aligned = aligned[:lines_mss]
         return aligned, n_valid
 
     line2 = NamedSharding(mesh, P(LINE_AXIS, None))

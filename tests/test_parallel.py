@@ -353,13 +353,15 @@ def test_sharded_scene_matches_single_device(rng):
 def test_scene_cli_mesh_matches_single(tmp_path, rng):
     """End-to-end ``scene --mesh 8`` through run_scene (sharded ingest +
     shard-by-shard drain): output files equal the single-device scene run
-    within the fast-mode envelope (stitched byte-identical, aligned <=1 DN)."""
+    within the fast-mode envelope (stitched byte-identical, aligned <=1 DN).
+    1200 lines does NOT divide the 8-device mesh at MSS scale, covering the
+    zero-pad/mask/trim strip-length contract end to end."""
     from opticalimageprocessor_tpu.formats.rrc_csv import save_rrc_params
     from opticalimageprocessor_tpu.io import tiff as tiff_io
     from opticalimageprocessor_tpu.models.scene import run_scene
     from opticalimageprocessor_tpu.ops import resample
 
-    lines_pan, width, ov = 1024, 640, 32
+    lines_pan, width, ov = 1200, 640, 32
     lines_mss, band_px = lines_pan // 4, width // 4
     scene = rng.integers(2000, 42000, (lines_mss, band_px)).astype(np.uint16)
     pan1 = np.clip(
@@ -471,3 +473,117 @@ def test_mesh_quantized_and_rrcpan_match_host(rng, tmp_path):
     got = tiff_io.read_tiff(str(out2 / os.path.basename(host_rrc_tiff)))
     want = tiff_io.read_tiff(host_rrc_tiff)
     np.testing.assert_array_equal(got, want)
+
+
+def test_mesh_routes_handle_uneven_strip_lengths(rng, tmp_path):
+    """Arbitrary strip lengths on the mesh: line-sharded arrays must
+    divide the mesh, so the drivers zero-pad at ingest, mask the pad rows
+    to border-0 post-RRC, and trim on drain — outputs match the host
+    paths exactly as in the divisible case.  1500 MSS lines / 8 devices
+    pads both the PAN (6000 -> 6008... rounded per axis) and MSS axes."""
+    from opticalimageprocessor_tpu.formats import rrc_csv
+    from opticalimageprocessor_tpu.io import tiff as tiff_io
+    from opticalimageprocessor_tpu.models.preprocessor import PreProcessor
+    from opticalimageprocessor_tpu.models.sharded_align import (
+        run_sharded_align,
+    )
+    from opticalimageprocessor_tpu.models.sharded_prestitch import (
+        run_sharded_prestitch,
+    )
+    from opticalimageprocessor_tpu.ops import resample
+
+    width, band_px = 512, 128
+    lines_mss = 1500               # not divisible by 8
+    lines_pan = lines_mss * 4      # 6000: not divisible by 8 either
+    scene = rng.integers(2000, 42000, (lines_mss, band_px)).astype(np.uint16)
+    pan_true = np.clip(
+        np.rint(np.asarray(resample.upsample4_f32(scene.astype(np.float32)))),
+        0, 65535,
+    ).astype(np.uint16)
+    bands = np.stack([np.roll(scene, b - 1, 1) for b in range(4)])
+    kp, bp = 1.02, -100.0
+    pan_dl = np.clip(
+        np.rint((pan_true.astype(np.float64) - bp) / kp), 0, 65535
+    ).astype(np.uint16)
+
+    pan_path = tmp_path / "C1.PAN.RAW"
+    mss_path = tmp_path / "C1.MSS.RAW"
+    pan_dl.astype("<u2").tofile(pan_path)
+    np.ascontiguousarray(bands.transpose(1, 0, 2)).astype("<u2").tofile(
+        mss_path
+    )
+    rrc_pan = tmp_path / "pan.rrc"
+    rrc_csv.save_rrc_params(str(rrc_pan), np.tile([[kp, bp]], (width, 1)))
+    rrc_band = tmp_path / "band.rrc"
+    # non-identity band RRC: the pad-row masking must keep border-0
+    rrc_csv.save_rrc_params(
+        str(rrc_band), np.tile([[1.02, 5.0]], (band_px, 1))
+    )
+
+    pp = PreProcessor(
+        str(pan_path), str(mss_path), str(rrc_pan), (str(rrc_band),) * 4,
+        pixels_per_line=width, fast=True, out_dir=str(tmp_path),
+    )
+    pp.load_and_rrc(do_rrc_pan=True, do_rrc_mss=True)
+    pp.calc_inter_band_correlation(slices=8, sections=1)
+    host_aligned = pp.do_inter_band_alignment(
+        line_per_section=lines_mss, keep_leading_lines=True,
+        write_tiff=False,
+    )
+
+    out2 = tmp_path / "mesh"
+    out2.mkdir()
+    mesh_aligned = run_sharded_align(
+        str(pan_path), str(mss_path), str(rrc_pan), (str(rrc_band),) * 4,
+        n_devices=8, do_rrc_pan=True, slices=8, sections=1,
+        keep_leading_lines=True, out_dir=str(out2),
+        pixels_per_line=width, write_tiff=False,
+    )
+    assert mesh_aligned.shape == host_aligned.shape == (
+        lines_mss, band_px, 4,
+    )
+    # the padded shapes partition the tile FFTs differently, moving the
+    # float64 fit by the known ~1e-3 px XLA:CPU scheduling envelope; on
+    # white noise that amplifies to isolated ~DN diffs, so gate on
+    # statistics, never a tight DN max (docs/NUMERICS.md)
+    d = np.abs(
+        mesh_aligned.astype(np.int64) - host_aligned.astype(np.int64)
+    )
+    assert d.mean() < 1.0, d.mean()
+    assert (d > 10).mean() < 1e-3, (d > 10).mean()
+    for b in range(4):
+        c = np.corrcoef(
+            mesh_aligned[4:-4, 4:-4, b].astype(np.float64).ravel(),
+            host_aligned[4:-4, 4:-4, b].astype(np.float64).ravel(),
+        )[0, 1]
+        assert c > 0.999, (b, c)
+    # the last real rows must NOT leak RRC'd-zero bias from the pad halo:
+    # the bottom rows' diff stats match the interior's
+    assert d[-8:].mean() < max(1.0, 3 * d.mean() + 0.5), (
+        d[-8:].mean(), d.mean(),
+    )
+
+    # --- sharded prestitch on the same uneven length
+    ov = 64
+    wide = rng.integers(
+        2000, 42000, (lines_pan + 8, 2 * width)
+    ).astype(np.uint16)
+    p1 = str(tmp_path / "S1.PAN.RAW")
+    p2 = str(tmp_path / "S2.PAN.RAW")
+    np.ascontiguousarray(wide[4 : 4 + lines_pan, :width]).astype(
+        "<u2"
+    ).tofile(p1)
+    np.ascontiguousarray(
+        wide[2 : 2 + lines_pan, width - ov + 3 : 2 * width - ov + 3]
+    ).astype("<u2").tofile(p2)
+    dx, dy, prestt_path = run_sharded_prestitch(
+        p1, p2, str(rrc_pan), str(rrc_pan), n_devices=8, sections=3,
+        line_per_section=1024, overlap_cols=ov, threshold=0.05,
+        out_dir=str(out2), pixels_per_line=width,
+    )
+    assert abs(dx + 3.0) < 0.3 and abs(dy - 2.0) < 0.3, (dx, dy)
+    import os as _os
+
+    assert (
+        _os.path.getsize(prestt_path) == lines_pan * width * 2
+    )
