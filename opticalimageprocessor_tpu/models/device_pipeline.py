@@ -151,21 +151,28 @@ def register_fast(
             ).astype(jnp.uint16)
         pt = pt.astype(jnp.float32)
         far, fai = phasecorr.rfft2_padded(pt, pad, True)
+        if use_fused:
+            # all 4 bands through ONE band-batched Pallas launch: the
+            # small band FFTs batch into one MXU matmul chain and the
+            # fused cross-power kernel grids over (band, ky-block)
+            from ..ops.phasecorr_pallas import (
+                windowed_crosspower_fused_bands,
+            )
+
+            bt4 = jax.lax.dynamic_slice(
+                mss_c,
+                (0, row0 // MSS_BANDS, i * bcols),
+                (MSS_BANDS, brows, bcols),
+            )
+            fbr4, fbi4 = phasecorr.band_full_spectrum_small(bt4)
+            return windowed_crosspower_fused_bands(
+                far, fai, fbr4, fbi4, pad, brows, win[0], win[1]
+            )
         outs = []
         for band in range(MSS_BANDS):
             bt = jax.lax.dynamic_slice(
                 mss_c, (band, row0 // MSS_BANDS, i * bcols), (1, brows, bcols)
             )[0]
-            if use_fused:
-                from ..ops.phasecorr_pallas import windowed_crosspower_fused
-
-                fbr_s, fbi_s = phasecorr.band_full_spectrum_small(bt)
-                outs.append(
-                    windowed_crosspower_fused(
-                        far, fai, fbr_s, fbi_s, pad, brows, win[0], win[1]
-                    )
-                )
-                continue
             if exact_sizes:
                 up = resample.upsample4_f32(bt.astype(jnp.float32))
                 fbr, fbi = phasecorr.rfft2_padded(up, pad, True)

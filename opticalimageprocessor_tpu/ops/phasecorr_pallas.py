@@ -186,3 +186,175 @@ def windowed_crosspower_fused(
     from .phasecorr import _centroid_on_window
 
     return _centroid_on_window(corr, win_y, win_x)
+
+
+def _kernel_bands(
+    fpr_ref, fpi_ref,          # (B, keep): PAN block (shared across bands)
+    fbr_ref, fbi_ref,          # (1, B, n_small): this band's spectrum rows
+    hr_re_ref, hr_im_ref,      # (B, 1)
+    hc_re_ref, hc_im_ref,      # (1, keep)
+    exc_ref, exs_ref,          # (keep, wx)
+    dr_ref, di_ref,            # (1, B, wx) out
+    *, keep: int, n_small: int,
+):
+    fbr = fbr_ref[0]
+    fbi = fbi_ref[0]
+    reps = -(-keep // n_small)
+    fbr_t = jnp.concatenate([fbr] * (reps + 1), axis=1)[:, :keep]
+    fbi_t = jnp.concatenate([fbi] * (reps + 1), axis=1)[:, :keep]
+
+    hr_re = hr_re_ref[:]
+    hr_im = hr_im_ref[:]
+    hc_re = hc_re_ref[:]
+    hc_im = hc_im_ref[:]
+    h_re = hr_re * hc_re - hr_im * hc_im
+    h_im = hr_re * hc_im + hr_im * hc_re
+    fur = h_re * fbr_t - h_im * fbi_t
+    fui = h_re * fbi_t + h_im * fbr_t
+
+    fpr = fpr_ref[:]
+    fpi = fpi_ref[:]
+    cr = fpr * fur + fpi * fui
+    ci = fpi * fur - fpr * fui
+    mag = jnp.sqrt(cr * cr + ci * ci)
+    den = jnp.where(mag == 0, jnp.float32(1.0), mag)
+    cnr = (cr / den).astype(jnp.bfloat16)
+    cni = (ci / den).astype(jnp.bfloat16)
+
+    exc = exc_ref[:].astype(jnp.bfloat16)
+    exs = exs_ref[:].astype(jnp.bfloat16)
+    dr_ref[0] = jnp.dot(
+        cnr, exc, preferred_element_type=jnp.float32
+    ) - jnp.dot(cni, exs, preferred_element_type=jnp.float32)
+    di_ref[0] = jnp.dot(
+        cni, exc, preferred_element_type=jnp.float32
+    ) + jnp.dot(cnr, exs, preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pad_to", "m_small", "win_y", "win_x", "interpret"),
+)
+def windowed_crosspower_fused_bands(
+    fpr, fpi,                 # (M, keep) f32 PAN half spectrum (shared)
+    fbr_full, fbi_full,       # (bands, m_small, n_small) f32 band spectra
+    pad_to: tuple[int, int],
+    m_small: int,
+    win_y: int = 64,
+    win_x: int = 64,
+    interpret: bool = False,
+):
+    """Band-batched :func:`windowed_crosspower_fused`: ONE pallas_call
+    evaluates all ``bands`` windowed cross-power surfaces against the
+    shared PAN spectrum (grid = bands x ky-blocks — a quarter of the
+    kernel launches of four separate calls, and Mosaic pipelines the
+    shared-operand reloads across the band axis).
+
+    Returns (dx, dy, response) each shaped (bands,).
+    """
+    from .phasecorr import _eval_consts, _upsample_filter_response
+
+    M, N = pad_to
+    keep = fpr.shape[-1]
+    bands, _, n_small = fbr_full.shape
+    factor = M // m_small
+    assert factor * m_small == M
+
+    blk = max(
+        (d for d in range(8, 513, 8) if m_small % d == 0), default=None
+    )
+    if blk is None:
+        raise ValueError(f"band tile height {m_small} not 8-divisible")
+    n_blocks = M // blk
+    fb_blocks_mod = m_small // blk
+
+    hr_re, hr_im = (
+        np.asarray(v) for v in _upsample_filter_response(m_small, factor)
+    )
+    hc_re, hc_im = (
+        np.asarray(v) for v in _upsample_filter_response(n_small, factor)
+    )
+    hr_re = jnp.asarray(hr_re.reshape(M, 1))
+    hr_im = jnp.asarray(hr_im.reshape(M, 1))
+    hc_re = jnp.asarray(hc_re[:keep].reshape(1, keep))
+    hc_im = jnp.asarray(hc_im[:keep].reshape(1, keep))
+
+    exc, exs = (jnp.asarray(v) for v in _eval_consts(N, keep, win_x, False))
+    wx = 2 * win_x + 1
+
+    kernel = functools.partial(_kernel_bands, keep=keep, n_small=n_small)
+    dr, di = pl.pallas_call(
+        kernel,
+        grid=(bands, n_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (blk, keep), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (blk, keep), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, blk, n_small),
+                lambda b, i, fbm=fb_blocks_mod: (
+                    b, jax.lax.rem(i, jnp.int32(fbm)), 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, blk, n_small),
+                lambda b, i, fbm=fb_blocks_mod: (
+                    b, jax.lax.rem(i, jnp.int32(fbm)), 0
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (blk, 1), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (blk, 1), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, keep), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, keep), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (keep, wx), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (keep, wx), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, blk, wx), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, blk, wx), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bands, M, wx), jnp.float32),
+            jax.ShapeDtypeStruct((bands, M, wx), jnp.float32),
+        ),
+        interpret=interpret,
+    )(fpr, fpi, fbr_full, fbi_full, hr_re, hr_im, hc_re, hc_im, exc, exs)
+
+    # ky -> window rows per band (batched tiny matmuls) + centroids
+    cy_c, cy_s = (jnp.asarray(v) for v in _eval_consts(M, M, win_y, True))
+    corr = (
+        jnp.einsum(
+            "km,bkw->bmw", cy_c, dr, precision=jax.lax.Precision.HIGHEST
+        )
+        - jnp.einsum(
+            "km,bkw->bmw", cy_s, di, precision=jax.lax.Precision.HIGHEST
+        )
+    ) / jnp.float32(M * N)
+
+    from .phasecorr import _centroid_on_window
+
+    outs = [_centroid_on_window(corr[b], win_y, win_x) for b in range(bands)]
+    return tuple(jnp.stack([o[k] for o in outs]) for k in range(3))

@@ -102,26 +102,23 @@ class _RegGeom:
 def _windowed_peak_tile(p, bs, pad, brows, use_fused, win):
     """Fast windowed peaks of one PAN tile vs its 4 band tiles (the
     register_fast per-slice math: shared PAN spectrum, spectral band
-    upsample, fused Pallas cross-power on TPU)."""
+    upsample, band-batched fused Pallas cross-power on TPU)."""
     far, fai = phasecorr.rfft2_padded(p.astype(jnp.float32), pad, True)
+    if use_fused:
+        from ..ops.phasecorr_pallas import windowed_crosspower_fused_bands
+
+        fbr4, fbi4 = phasecorr.band_full_spectrum_small(bs)
+        return windowed_crosspower_fused_bands(
+            far, fai, fbr4, fbi4, pad, brows, win[0], win[1]
+        )
     outs = []
     for b in range(MSS_BANDS):
-        if use_fused:
-            from ..ops.phasecorr_pallas import windowed_crosspower_fused
-
-            fbr_s, fbi_s = phasecorr.band_full_spectrum_small(bs[b])
-            outs.append(
-                windowed_crosspower_fused(
-                    far, fai, fbr_s, fbi_s, pad, brows, win[0], win[1]
-                )
+        fbr, fbi = phasecorr.upsampled_band_spectrum(bs[b])
+        outs.append(
+            phasecorr.peak_from_spectra_windowed(
+                far, fai, fbr, fbi, pad, win[0], win[1]
             )
-        else:
-            fbr, fbi = phasecorr.upsampled_band_spectrum(bs[b])
-            outs.append(
-                phasecorr.peak_from_spectra_windowed(
-                    far, fai, fbr, fbi, pad, win[0], win[1]
-                )
-            )
+        )
     return tuple(jnp.stack([o[k] for o in outs]) for k in range(3))
 
 

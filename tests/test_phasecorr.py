@@ -85,3 +85,42 @@ def test_fused_windowed_crosspower_matches_unfused(rng):
     assert abs(float(got[0]) - float(want[0])) < 5e-3
     assert abs(float(got[1]) - float(want[1])) < 5e-3
     assert abs(float(got[2]) - float(want[2])) < 5e-3
+
+
+def test_fused_bands_matches_per_band(rng):
+    """The band-batched fused kernel (ONE pallas_call gridded over
+    (band, ky-block)) matches four separate single-band calls exactly."""
+    import jax.numpy as jnp
+
+    from opticalimageprocessor_tpu.ops import resample
+    from opticalimageprocessor_tpu.ops.phasecorr_pallas import (
+        windowed_crosspower_fused,
+        windowed_crosspower_fused_bands,
+    )
+
+    bands = [
+        (rng.random((248, 64)) * 1000).astype(np.float32) for _ in range(4)
+    ]
+    up = np.asarray(resample.upsample4_f32(jnp.asarray(bands[0])))
+    pan = np.roll(np.roll(up, 4, axis=0), -2, axis=1)
+    pad = (992, 256)
+    far, fai = phasecorr.rfft2_padded(jnp.asarray(pan), pad, True)
+    fbr4, fbi4 = phasecorr.band_full_spectrum_small(
+        jnp.asarray(np.stack(bands))
+    )
+    dx4, dy4, rs4 = windowed_crosspower_fused_bands(
+        far, fai, fbr4, fbi4, pad, 248, 16, 16, interpret=True
+    )
+    for b in range(4):
+        want = windowed_crosspower_fused(
+            far, fai, fbr4[b], fbi4[b], pad, 248, 16, 16, interpret=True
+        )
+        # the batched ky contraction (einsum) reassociates vs the
+        # single-band dot: few-ulp drift only
+        assert abs(float(dx4[b]) - float(want[0])) < 5e-3, b
+        assert abs(float(dy4[b]) - float(want[1])) < 5e-3, b
+        assert abs(float(rs4[b]) - float(want[2])) < 5e-3, b
+    # and band 0 (a pure shift of the PAN) registers the constructed
+    # shift (cv::phaseCorrelate sign convention)
+    assert abs(float(dx4[0]) - 2.0) < 0.1
+    assert abs(float(dy4[0]) + 4.0) < 0.1

@@ -553,8 +553,11 @@ def test_cli_scene_usage_errors(tmp_path, rng):
     ) == 2
 
 
-def test_cli_mesh_unsupported_flags(tmp_path, rng):
-    """--mesh rejects host-path-only knobs loudly instead of dropping them."""
+def test_cli_mesh_flag_coverage(tmp_path, rng):
+    """Round 3 lifted the --mesh restrictions: --write-rrcpan and
+    --coord-mode quantized are real mesh features now, so they must pass
+    parse-time validation (the bogus geometry then fails as a runtime
+    error, rc 2 — NOT the old 254 usage error)."""
     from opticalimageprocessor_tpu import cli
 
     f = str(tmp_path / "m.RAW")
@@ -562,8 +565,8 @@ def test_cli_mesh_unsupported_flags(tmp_path, rng):
     base = ["--pan", f, "--mss", f, "--no-rrc4mss", "--mesh", "2"]
     assert cli.main(
         base + ["--do-rrc4pan", "--rrc-pan", f, "--write-rrcpan"]
-    ) == 254
-    assert cli.main(base + ["--coord-mode", "quantized"]) == 254
+    ) == 2
+    assert cli.main(base + ["--coord-mode", "quantized"]) == 2
     # scene threshold validation parity with the default command
     assert cli.main(
         ["scene", "--pan1", f, "--pan2", f, "--mss", f,
