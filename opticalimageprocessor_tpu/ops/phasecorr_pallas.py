@@ -40,55 +40,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(
-    fpr_ref, fpi_ref,          # (B, keep) f32: PAN half spectrum block
-    fbr_ref, fbi_ref,          # (B, n_small) f32: full small band spectrum rows
-    hr_re_ref, hr_im_ref,      # (B, 1) f32: row filter response block
-    hc_re_ref, hc_im_ref,      # (1, keep) f32: column filter response
-    exc_ref, exs_ref,          # (keep, wx) f32: kx evaluation matrices
-    dr_ref, di_ref,            # (B, wx) f32 out
-    *, keep: int, n_small: int,
-):
-    fbr = fbr_ref[:]
-    fbi = fbi_ref[:]
-    reps = -(-keep // n_small)
-    fbr_t = jnp.concatenate([fbr] * (reps + 1), axis=1)[:, :keep]
-    fbi_t = jnp.concatenate([fbi] * (reps + 1), axis=1)[:, :keep]
-
-    # F_up = Hr*Hc*F_b  (complex)
-    hr_re = hr_re_ref[:]
-    hr_im = hr_im_ref[:]
-    hc_re = hc_re_ref[:]
-    hc_im = hc_im_ref[:]
-    h_re = hr_re * hc_re - hr_im * hc_im
-    h_im = hr_re * hc_im + hr_im * hc_re
-    fur = h_re * fbr_t - h_im * fbi_t
-    fui = h_re * fbi_t + h_im * fbr_t
-
-    # C = F_pan * conj(F_up), whitened
-    fpr = fpr_ref[:]
-    fpi = fpi_ref[:]
-    cr = fpr * fur + fpi * fui
-    ci = fpi * fur - fpr * fui
-    mag = jnp.sqrt(cr * cr + ci * ci)
-    den = jnp.where(mag == 0, jnp.float32(1.0), mag)
-    cnr = (cr / den).astype(jnp.bfloat16)
-    cni = (ci / den).astype(jnp.bfloat16)
-
-    exc = exc_ref[:].astype(jnp.bfloat16)
-    exs = exs_ref[:].astype(jnp.bfloat16)
-    dr_ref[:] = jnp.dot(
-        cnr, exc, preferred_element_type=jnp.float32
-    ) - jnp.dot(cni, exs, preferred_element_type=jnp.float32)
-    di_ref[:] = jnp.dot(
-        cni, exc, preferred_element_type=jnp.float32
-    ) + jnp.dot(cnr, exs, preferred_element_type=jnp.float32)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("pad_to", "m_small", "win_y", "win_x", "interpret"),
-)
 def windowed_crosspower_fused(
     fpr, fpi,                 # (M, keep) f32 PAN half spectrum
     fbr_full, fbi_full,       # (m_small, n_small) f32 full band spectrum
@@ -102,90 +53,14 @@ def windowed_crosspower_fused(
 
     Returns (dx, dy, response) with the same semantics as
     ops/phasecorr.peak_from_spectra_windowed fed by
-    ops/phasecorr.upsampled_band_spectrum.
+    ops/phasecorr.upsampled_band_spectrum.  Thin wrapper over the
+    band-batched kernel with bands=1 (one source of truth for the math).
     """
-    from .phasecorr import _eval_consts, _upsample_filter_response
-
-    M, N = pad_to
-    keep = fpr.shape[-1]
-    n_small = fbi_full.shape[-1]
-    factor = M // m_small
-    assert factor * m_small == M
-
-    # ky-block: the largest divisor of m_small that is <= 512 and a
-    # multiple of 8 (Mosaic sublane tiling) so each block maps to one
-    # contiguous F_band row block
-    blk = max(
-        (d for d in range(8, 513, 8) if m_small % d == 0), default=None
+    dx, dy, rs = windowed_crosspower_fused_bands(
+        fpr, fpi, fbr_full[None], fbi_full[None], pad_to, m_small,
+        win_y, win_x, interpret,
     )
-    if blk is None:
-        raise ValueError(f"band tile height {m_small} not 8-divisible")
-    n_blocks = M // blk
-    fb_blocks_mod = m_small // blk
-
-    hr_re, hr_im = (
-        np.asarray(v) for v in _upsample_filter_response(m_small, factor)
-    )
-    hc_re, hc_im = (
-        np.asarray(v) for v in _upsample_filter_response(n_small, factor)
-    )
-    hr_re = jnp.asarray(hr_re.reshape(M, 1))
-    hr_im = jnp.asarray(hr_im.reshape(M, 1))
-    hc_re = jnp.asarray(hc_re[:keep].reshape(1, keep))
-    hc_im = jnp.asarray(hc_im[:keep].reshape(1, keep))
-
-    exc, exs = (jnp.asarray(v) for v in _eval_consts(N, keep, win_x, False))
-    wx = 2 * win_x + 1
-
-    kernel = functools.partial(_kernel, keep=keep, n_small=n_small)
-    dr, di = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((blk, keep), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, keep), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (blk, n_small),
-                lambda i, fbm=fb_blocks_mod: (
-                    jax.lax.rem(i, jnp.int32(fbm)), 0
-                ),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (blk, n_small),
-                lambda i, fbm=fb_blocks_mod: (
-                    jax.lax.rem(i, jnp.int32(fbm)), 0
-                ),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, keep), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, keep), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((keep, wx), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((keep, wx), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((blk, wx), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, wx), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((M, wx), jnp.float32),
-            jax.ShapeDtypeStruct((M, wx), jnp.float32),
-        ),
-        interpret=interpret,
-    )(fpr, fpi, fbr_full, fbi_full, hr_re, hr_im, hc_re, hc_im, exc, exs)
-
-    # ky -> window rows (tiny), then the shared peak/centroid logic
-    cy_c, cy_s = (jnp.asarray(v) for v in _eval_consts(M, M, win_y, True))
-    corr = (
-        jnp.dot(cy_c.T, dr, precision=jax.lax.Precision.HIGHEST)
-        - jnp.dot(cy_s.T, di, precision=jax.lax.Precision.HIGHEST)
-    ) / jnp.float32(M * N)
-
-    from .phasecorr import _centroid_on_window
-
-    return _centroid_on_window(corr, win_y, win_x)
+    return dx[0], dy[0], rs[0]
 
 
 def _kernel_bands(
