@@ -150,23 +150,6 @@ def remap_band_dynamic(
     return jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
 
 
-def remap_band_dynamic_chunked(
-    band: jax.Array,
-    coeff_x: jax.Array,
-    coeff_y: jax.Array,
-    chunk_rows: int,
-):
-    """Whole-strip dynamic remap, streamed over row chunks with lax.map so
-    HBM holds only one chunk's working set (the on-device analogue of the
-    reference's SectionaryRemap streaming, imageop.h:230-275 — but with true
-    neighbour rows between chunks instead of section borders)."""
-    from ..ops.resample import remap_band_fast_chunked
-
-    return remap_band_fast_chunked(
-        band, coeff_x, coeff_y, chunk_rows, row_bound=ROW_OFF_BOUND
-    )
-
-
 # ---------------------------------------------------------------------------
 # reference sampling geometry (CalcInterBandCorrelation, preproc.h:224-347)
 # ---------------------------------------------------------------------------
