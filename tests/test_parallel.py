@@ -376,9 +376,15 @@ def test_scene_cli_mesh_matches_single(tmp_path, rng):
     p1 = str(tmp_path / "C1.PAN.RAW")
     p2 = str(tmp_path / "C2.PAN.RAW")
     ms = str(tmp_path / "C1.MSS.RAW")
+    ms2 = str(tmp_path / "C2.MSS.RAW")
     pan1.astype("<u2").tofile(p1)
     pan2.astype("<u2").tofile(p2)
     mss.astype("<u2").tofile(ms)
+    # CMOS2 MSS (exercises the sharded mss2 align + MSS-pair stitch)
+    mss2 = np.stack(
+        [np.roll(scene, b, 1) for b in range(4)], axis=1
+    ).reshape(lines_mss, width)
+    mss2.astype("<u2").tofile(ms2)
     rrc_pan = str(tmp_path / "pan.rrc")
     save_rrc_params(rrc_pan, np.tile([[1.01, -3.0]], (width, 1)))
 
@@ -388,17 +394,20 @@ def test_scene_cli_mesh_matches_single(tmp_path, rng):
     out_b.mkdir()
     kw = dict(
         rrc_pan1=rrc_pan, rrc_pan2=rrc_pan, slices=8, fold_cols=ov,
-        stt_sections=2, pixels_per_line=width,
+        stt_sections=2, pixels_per_line=width, mss2_file=ms2,
     )
     o1 = run_scene(p1, p2, ms, out_dir=str(out_a), **kw)
     o2 = run_scene(p1, p2, ms, out_dir=str(out_b), mesh=8, **kw)
     st1 = tiff_io.read_tiff(o1["stitched"])
     st2 = tiff_io.read_tiff(o2["stitched"])
     np.testing.assert_array_equal(st1, st2)
-    a1 = tiff_io.read_tiff(o1["aligned"]).astype(np.int32)
-    a2 = tiff_io.read_tiff(o2["aligned"]).astype(np.int32)
-    d = np.abs(a1 - a2)
-    assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
+    for key in ("aligned", "aligned2", "stitched_mss"):
+        a1 = tiff_io.read_tiff(o1[key]).astype(np.int32)
+        a2 = tiff_io.read_tiff(o2[key]).astype(np.int32)
+        d = np.abs(a1 - a2)
+        assert d.max() <= 1 and (d > 0).mean() < 0.01, (
+            key, d.max(), (d > 0).mean(),
+        )
 
 
 def test_mesh_quantized_and_rrcpan_match_host(rng, tmp_path):
