@@ -3,21 +3,26 @@
 One jitted program covering the whole per-scene compute chain of the
 reference's default + prestitch + stitch commands, HBM-resident end to end:
 
-  RRC(PAN1) + RRC(PAN2) + RRC(4 x MSS)         # Pallas kernel
-  -> registration: sections x slices sampling grid, PAN tile spectrum
-     shared across bands, spectral band upsample, windowed correlation
-     peak (ops/fft_mxu + ops/phasecorr fast paths), response filter at
-     the reference's 0.4 threshold
-  -> weighted polynomial shift fit (on device)
+  RRC(4 x MSS)                                 # Pallas kernel; the PAN
+                                               # RRC is fused into its
+                                               # consumers below
+  -> registration: sections x slices sampling grid with tile-inline PAN
+     RRC, PAN tile spectrum shared across bands, spectral band upsample,
+     band-batched windowed correlation peak (ops/fft_mxu +
+     ops/phasecorr_pallas fast paths), response filter at the
+     reference's 0.4 threshold
+  -> weighted dd-float32 polynomial shift fit (on device, ops/ddf32)
   -> stt-parameter estimation: PAN1 right-edge vs PAN2 left-edge overlap
      correlation over sampled sections (CalcSttParameters analogue)
-  -> 4-band alignment resample + prestitch constant-shift resample of
-     PAN2 (blocked-MXU remap, lax.map row-chunk streaming)
-  -> CMOS seam concat
+  -> 4-band alignment resample (blocked-MXU remap, lax.map row-chunk
+     streaming) + ONE fused chunk pass for the dual-CMOS tail:
+     RRC(PAN1) left half ++ prestitch-remap(RRC(PAN2)) right half
+     (resample.remap_const_stitch_chunked)
 
-This is the throughput path measured by bench.py (4.3 Gpix/s/chip on one
-v5e at a 32768-line scene; registration through the fused Pallas
-cross-power kernel, remap chunk_rows tuned for HBM locality).  The host-orchestrated models
+This is the throughput path measured by bench.py (6.0 Gpix/s/chip
+sustained on one v5e at a 32768-line scene; registration through the
+band-batched fused Pallas cross-power kernel, the corrected PAN strips
+never materialised — see docs/PERF.md).  The host-orchestrated models
 (PreProcessor/Stitcher) remain the parity-exact route with file IO and the
 reference's sectioning semantics; this pipeline trades those for the
 documented fast-mode envelope (see ops/resample.remap_band_fast,
