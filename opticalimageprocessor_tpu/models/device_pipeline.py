@@ -79,6 +79,8 @@ def register_fast(
     threshold: float = IBCV_DEF_THRESHOLD,
     use_fused: bool | None = None,
     pan_params: jax.Array | None = None,
+    section_batch: int | None = None,
+    interpret: bool = False,
 ):
     """Fast registration: per-(section, slice) windowed phase correlation.
 
@@ -140,6 +142,12 @@ def register_fast(
         else 0
     )
 
+    # tile-grid batching is opt-in (section_batch > 1): measured SLOWER than
+    # the lax.map default on v5e (129 -> 163-182 ms standalone register at
+    # 32768 lines; the batched FFT chain's materialised intermediates lose
+    # to lax.map's bounded per-tile working set — docs/PERF.md dead ends)
+    batched = use_fused and section_batch is not None and section_batch > 1
+
     def one_slice(idx):
         sec = idx // slices
         i = idx % slices
@@ -171,7 +179,7 @@ def register_fast(
             )
             fbr4, fbi4 = phasecorr.band_full_spectrum_small(bt4)
             return windowed_crosspower_fused_bands(
-                far, fai, fbr4, fbi4, pad, brows, win[0], win[1]
+                far, fai, fbr4, fbi4, pad, brows, win[0], win[1], interpret
             )
         outs = []
         for band in range(MSS_BANDS):
@@ -194,7 +202,18 @@ def register_fast(
             jnp.stack([o[2] for o in outs]),
         )
 
-    dx, dy, rs = jax.lax.map(one_slice, jnp.arange(n_sections * slices))
+    if batched:
+        # tile-grid batching: groups of ``section_batch`` slices go through
+        # ONE batched FFT chain and ONE pallas_call with grid
+        # (tiles, bands, ky-blocks); tile extraction becomes a contiguous
+        # row-block read + reshape instead of per-tile dynamic_slices
+        dx, dy, rs = _register_tiles_batched(
+            pan_c, mss_c, pan_params, slices, n_sections, corr_rows, cols,
+            brows, bcols, pad, win, sec_stride,
+            min(section_batch, slices), interpret,
+        )
+    else:
+        dx, dy, rs = jax.lax.map(one_slice, jnp.arange(n_sections * slices))
     dx = dx.reshape(n_sections * slices, MSS_BANDS).T
     dy = dy.reshape(n_sections * slices, MSS_BANDS).T
     rs = rs.reshape(n_sections * slices, MSS_BANDS).T
@@ -211,6 +230,57 @@ def register_fast(
             (_fit_poly(cx, dx[band], 1, w), _fit_poly(cx, dy[band], 2, w))
         )
     return coeffs, jnp.stack(n_valid)
+
+
+def _register_tiles_batched(
+    pan_c, mss_c, pan_params, slices, n_sections, corr_rows, cols,
+    brows, bcols, pad, win, sec_stride, group, interpret,
+):
+    """Tile-grid-batched registration core: per section, extract the
+    contiguous sampled row block once, reshape it into the slice tiles,
+    run ONE batched MXU-DFT chain over the tile axis and ONE fused Pallas
+    cross-power launch with grid (tiles, bands, ky-blocks).
+
+    ``group`` bounds how many slices batch together (transient HBM is
+    ~230 MB per slice at the default 16000x1228 tiles).  Returns
+    (dx, dy, rs) each (n_sections*slices, MSS_BANDS), tile-major in
+    (section, slice) order — identical layout to the lax.map path.
+    """
+    from ..ops.phasecorr_pallas import windowed_crosspower_fused_tiles
+
+    parts = []
+    for sec in range(n_sections):
+        row0 = sec * sec_stride
+        brow0 = row0 // MSS_BANDS
+        for s0 in range(0, slices, group):
+            gs = min(group, slices - s0)
+            pt = pan_c[row0:row0 + corr_rows, s0 * cols:(s0 + gs) * cols]
+            if pan_params is not None:
+                from ..ops.rrc import _rrc_math
+
+                pp = pan_params[:, s0 * cols:(s0 + gs) * cols]
+                pt = _rrc_math(
+                    pt.astype(jnp.int32), *[pp[k][None, :] for k in range(6)]
+                ).astype(jnp.uint16)
+            pt = pt.astype(jnp.float32)
+            pts = jnp.swapaxes(pt.reshape(corr_rows, gs, cols), 0, 1)
+            far, fai = phasecorr.rfft2_padded(pts, pad, True)
+            bt = mss_c[
+                :, brow0:brow0 + brows, s0 * bcols:(s0 + gs) * bcols
+            ]
+            bts = jnp.transpose(
+                bt.reshape(MSS_BANDS, brows, gs, bcols), (2, 0, 1, 3)
+            )
+            fbr4, fbi4 = phasecorr.band_full_spectrum_small(bts)
+            parts.append(
+                windowed_crosspower_fused_tiles(
+                    far, fai, fbr4, fbi4, pad, brows, win[0], win[1],
+                    interpret,
+                )
+            )
+    return tuple(
+        jnp.concatenate([p[k] for p in parts], axis=0) for k in range(3)
+    )
 
 
 def check_registration_valid(n_valid) -> None:

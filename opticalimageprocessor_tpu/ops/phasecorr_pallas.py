@@ -63,17 +63,17 @@ def windowed_crosspower_fused(
     return dx[0], dy[0], rs[0]
 
 
-def _kernel_bands(
-    fpr_ref, fpi_ref,          # (B, keep): PAN block (shared across bands)
-    fbr_ref, fbi_ref,          # (1, B, n_small): this band's spectrum rows
+def _kernel_tiles(
+    fpr_ref, fpi_ref,          # (1, B, keep): this tile's PAN block
+    fbr_ref, fbi_ref,          # (1, 1, B, n_small): this (tile, band)'s rows
     hr_re_ref, hr_im_ref,      # (B, 1)
     hc_re_ref, hc_im_ref,      # (1, keep)
     exc_ref, exs_ref,          # (keep, wx)
-    dr_ref, di_ref,            # (1, B, wx) out
+    dr_ref, di_ref,            # (1, 1, B, wx) out
     *, keep: int, n_small: int,
 ):
-    fbr = fbr_ref[0]
-    fbi = fbi_ref[0]
+    fbr = fbr_ref[0, 0]
+    fbi = fbi_ref[0, 0]
     reps = -(-keep // n_small)
     fbr_t = jnp.concatenate([fbr] * (reps + 1), axis=1)[:, :keep]
     fbi_t = jnp.concatenate([fbi] * (reps + 1), axis=1)[:, :keep]
@@ -87,8 +87,8 @@ def _kernel_bands(
     fur = h_re * fbr_t - h_im * fbi_t
     fui = h_re * fbi_t + h_im * fbr_t
 
-    fpr = fpr_ref[:]
-    fpi = fpi_ref[:]
+    fpr = fpr_ref[0]
+    fpi = fpi_ref[0]
     cr = fpr * fur + fpi * fui
     ci = fpi * fur - fpr * fui
     mag = jnp.sqrt(cr * cr + ci * ci)
@@ -98,18 +98,14 @@ def _kernel_bands(
 
     exc = exc_ref[:].astype(jnp.bfloat16)
     exs = exs_ref[:].astype(jnp.bfloat16)
-    dr_ref[0] = jnp.dot(
+    dr_ref[0, 0] = jnp.dot(
         cnr, exc, preferred_element_type=jnp.float32
     ) - jnp.dot(cni, exs, preferred_element_type=jnp.float32)
-    di_ref[0] = jnp.dot(
+    di_ref[0, 0] = jnp.dot(
         cni, exc, preferred_element_type=jnp.float32
     ) + jnp.dot(cnr, exs, preferred_element_type=jnp.float32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("pad_to", "m_small", "win_y", "win_x", "interpret"),
-)
 def windowed_crosspower_fused_bands(
     fpr, fpi,                 # (M, keep) f32 PAN half spectrum (shared)
     fbr_full, fbi_full,       # (bands, m_small, n_small) f32 band spectra
@@ -121,17 +117,45 @@ def windowed_crosspower_fused_bands(
 ):
     """Band-batched :func:`windowed_crosspower_fused`: ONE pallas_call
     evaluates all ``bands`` windowed cross-power surfaces against the
-    shared PAN spectrum (grid = bands x ky-blocks — a quarter of the
-    kernel launches of four separate calls, and Mosaic pipelines the
-    shared-operand reloads across the band axis).
+    shared PAN spectrum.  Thin wrapper over the tile-batched kernel with
+    tiles=1 (one source of truth for the math).
 
     Returns (dx, dy, response) each shaped (bands,).
+    """
+    dx, dy, rs = windowed_crosspower_fused_tiles(
+        fpr[None], fpi[None], fbr_full[None], fbi_full[None], pad_to,
+        m_small, win_y, win_x, interpret,
+    )
+    return dx[0], dy[0], rs[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pad_to", "m_small", "win_y", "win_x", "interpret"),
+)
+def windowed_crosspower_fused_tiles(
+    fpr, fpi,                 # (tiles, M, keep) f32 PAN half spectra
+    fbr_full, fbi_full,       # (tiles, bands, m_small, n_small) f32 spectra
+    pad_to: tuple[int, int],
+    m_small: int,
+    win_y: int = 64,
+    win_x: int = 64,
+    interpret: bool = False,
+):
+    """Tile-and-band-batched fused windowed cross-power: ONE pallas_call
+    with grid (tiles, bands, ky-blocks) evaluates every (tile, band)
+    windowed correlation surface — e.g. a whole registration section's
+    slices x bands grid in a single kernel launch, instead of a
+    lax.map step per tile (the per-step dispatch/extraction overhead was
+    the register stage's largest unexplained cost — docs/PERF.md).
+
+    Returns (dx, dy, response) each shaped (tiles, bands).
     """
     from .phasecorr import _eval_consts, _upsample_filter_response
 
     M, N = pad_to
     keep = fpr.shape[-1]
-    bands, _, n_small = fbr_full.shape
+    tiles, bands, _, n_small = fbr_full.shape
     factor = M // m_small
     assert factor * m_small == M
 
@@ -157,79 +181,81 @@ def windowed_crosspower_fused_bands(
     exc, exs = (jnp.asarray(v) for v in _eval_consts(N, keep, win_x, False))
     wx = 2 * win_x + 1
 
-    kernel = functools.partial(_kernel_bands, keep=keep, n_small=n_small)
+    kernel = functools.partial(_kernel_tiles, keep=keep, n_small=n_small)
     dr, di = pl.pallas_call(
         kernel,
-        grid=(bands, n_blocks),
+        grid=(tiles, bands, n_blocks),
         in_specs=[
             pl.BlockSpec(
-                (blk, keep), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+                (1, blk, keep), lambda t, b, i: (t, i, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (blk, keep), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+                (1, blk, keep), lambda t, b, i: (t, i, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, blk, n_small),
-                lambda b, i, fbm=fb_blocks_mod: (
-                    b, jax.lax.rem(i, jnp.int32(fbm)), 0
+                (1, 1, blk, n_small),
+                lambda t, b, i, fbm=fb_blocks_mod: (
+                    t, b, jax.lax.rem(i, jnp.int32(fbm)), 0
                 ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, blk, n_small),
-                lambda b, i, fbm=fb_blocks_mod: (
-                    b, jax.lax.rem(i, jnp.int32(fbm)), 0
+                (1, 1, blk, n_small),
+                lambda t, b, i, fbm=fb_blocks_mod: (
+                    t, b, jax.lax.rem(i, jnp.int32(fbm)), 0
                 ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (blk, 1), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+                (blk, 1), lambda t, b, i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (blk, 1), lambda b, i: (i, 0), memory_space=pltpu.VMEM
+                (blk, 1), lambda t, b, i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, keep), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+                (1, keep), lambda t, b, i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, keep), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+                (1, keep), lambda t, b, i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (keep, wx), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+                (keep, wx), lambda t, b, i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (keep, wx), lambda b, i: (0, 0), memory_space=pltpu.VMEM
+                (keep, wx), lambda t, b, i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, blk, wx), lambda b, i: (b, i, 0),
+                (1, 1, blk, wx), lambda t, b, i: (t, b, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, blk, wx), lambda b, i: (b, i, 0),
+                (1, 1, blk, wx), lambda t, b, i: (t, b, i, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bands, M, wx), jnp.float32),
-            jax.ShapeDtypeStruct((bands, M, wx), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, bands, M, wx), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, bands, M, wx), jnp.float32),
         ),
         interpret=interpret,
     )(fpr, fpi, fbr_full, fbi_full, hr_re, hr_im, hc_re, hc_im, exc, exs)
 
-    # ky -> window rows per band (batched tiny matmuls) + centroids
+    # ky -> window rows per (tile, band) (batched tiny matmuls) + centroids
     cy_c, cy_s = (jnp.asarray(v) for v in _eval_consts(M, M, win_y, True))
     corr = (
         jnp.einsum(
-            "km,bkw->bmw", cy_c, dr, precision=jax.lax.Precision.HIGHEST
+            "km,tbkw->tbmw", cy_c, dr, precision=jax.lax.Precision.HIGHEST
         )
         - jnp.einsum(
-            "km,bkw->bmw", cy_s, di, precision=jax.lax.Precision.HIGHEST
+            "km,tbkw->tbmw", cy_s, di, precision=jax.lax.Precision.HIGHEST
         )
     ) / jnp.float32(M * N)
 
     from .phasecorr import _centroid_on_window
 
-    outs = [_centroid_on_window(corr[b], win_y, win_x) for b in range(bands)]
-    return tuple(jnp.stack([o[k] for o in outs]) for k in range(3))
+    cen = jax.vmap(jax.vmap(_centroid_on_window, (0, None, None)), (0, None, None))
+    return cen(corr, win_y, win_x)

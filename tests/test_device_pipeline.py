@@ -47,6 +47,37 @@ def test_register_fast_recovers_shifts(rng):
         assert abs(cy[0] - 4 * vy[b]) < 0.3, (b, cy)
 
 
+def test_register_fast_tile_batched_matches_per_tile(rng):
+    """The tile-grid-batched registration (ONE pallas grid over
+    (tiles, bands, ky-blocks) per section/group) reproduces the
+    lax.map-per-tile fused path: same spectra math, same peaks, same fit —
+    only the batching differs.  Covers full-section batching AND a group
+    size that leaves a remainder group."""
+    lines_mss, band_px = 512, 3072 // 4
+    scene, pan = _scene_pair(rng, lines_mss, band_px)
+    vy = [0, -1, 1, 0]
+    vx = [1, 0, -1, 2]
+    mss = np.stack(
+        [np.roll(np.roll(scene, vy[b], 0), vx[b], 1) for b in range(4)]
+    )
+    kw = dict(
+        slices=8, n_sections=1, win=(16, 16), use_fused=True, interpret=True
+    )
+    c_map, nv_map = register_fast(jnp.asarray(pan), jnp.asarray(mss), **kw)
+    for section_batch, label in ((8, "full-section"), (3, "remainder")):
+        c_b, nv_b = register_fast(
+            jnp.asarray(pan), jnp.asarray(mss),
+            section_batch=section_batch, **kw
+        )
+        assert np.array_equal(np.asarray(nv_b), np.asarray(nv_map))
+        for b in range(4):
+            for k in range(2):
+                d = np.max(
+                    np.abs(np.asarray(c_b[b][k]) - np.asarray(c_map[b][k]))
+                )
+                assert d < 1e-4, (label, b, k, d)
+
+
 def test_register_fast_excludes_low_response(rng):
     """Flat (zero-texture) tiles fall below the 0.4 response threshold and
     are provably excluded from the fit; all-flat bands trip the reference's
