@@ -397,7 +397,8 @@ def make_device_pipeline(
                 pan2_params (6, 12288) f32, mss_params (4, 6, 3072) f32)
              -> (aligned u16 (L/4, 3072, 4),
                  stitched u16 (L, 2*(12288-fold)),
-                 n_valid_register (4,) i32, n_valid_stt () i32)
+                 n_valid_register (4,) i32, n_valid_stt () i32,
+                 params = (cx (4, 2), cy (4, 3), stt_dx (), stt_dy ()))
 
     Every input pixel is processed exactly once: PAN1 takes RRC +
     registration + the stitch left half; PAN2 takes its own RRC, the
@@ -425,7 +426,7 @@ def make_device_pipeline(
         # prestitch remap + seam concat into one chunk-streamed pass
         # (resample.remap_const_stitch_chunked) — ~3 strip-sized HBM
         # round trips less than the separate-stage structure
-        aligned, n_valid = _rrc_register_align(
+        aligned, n_valid, coeffs = _rrc_register_align(
             pan1, mss, mss_params, slices, n_sections, threshold,
             chunk_rows, row_bound, col_block, col_halo,
             pan_params=pan1_params,
@@ -448,10 +449,11 @@ def make_device_pipeline(
             col_halo=col_halo,
             want_prestt=return_prestt,
         )
+        params = (coeffs[0], coeffs[1], dxs, dys)
         if return_prestt:
             stitched, prestt = out
-            return aligned, stitched, prestt, n_valid, n_stt
-        return aligned, out, n_valid, n_stt
+            return aligned, stitched, prestt, n_valid, n_stt, params
+        return aligned, out, n_valid, n_stt, params
 
     return pipeline
 
@@ -462,7 +464,9 @@ def _rrc_register_align(
 ):
     """Shared core of the CMOS1 pipeline and the CMOS2 (mss2) align:
     RRC the bands, register against ``pan_c`` (raw + inline tile RRC when
-    ``pan_params`` is given), resample each band."""
+    ``pan_params`` is given), resample each band.  Also returns the fitted
+    per-band coefficients ``(cx (4, 2), cy (4, 3))`` so the scene driver
+    can log them (the reference OLOGs every fit, preproc.h:552-560)."""
     mss_c = jnp.stack(
         [rrc.rrc_apply(mss[i], mss_params[i]) for i in range(MSS_BANDS)]
     )
@@ -481,7 +485,9 @@ def _rrc_register_align(
         ],
         axis=-1,
     )
-    return aligned, n_valid
+    cx = jnp.stack([coeffs[i][0] for i in range(MSS_BANDS)])
+    cy = jnp.stack([coeffs[i][1] for i in range(MSS_BANDS)])
+    return aligned, n_valid, (cx, cy)
 
 
 def make_mss_align(
@@ -505,7 +511,8 @@ def make_mss_align(
 
     signature: (pan_c u16 (L, W), mss u16 (4, L/4, W/4),
                 mss_params (4, 6, W/4) f32)
-             -> (aligned u16 (L/4, W/4, 4), n_valid (4,) i32)
+             -> (aligned u16 (L/4, W/4, 4), n_valid (4,) i32,
+                 (cx (4, 2), cy (4, 3)))
     """
 
     @jax.jit

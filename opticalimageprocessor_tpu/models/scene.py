@@ -44,6 +44,36 @@ from ..io import tiff as tiff_io
 from ..utils.logging import olog, stage
 
 
+def log_band_coeffs(cx, cy, n_valid) -> None:
+    """OLOG the fitted per-band shift polynomials in the PreProcessor's
+    format (the reference logs every fit, preproc.h:552-560) so scene runs
+    are diagnosable from oip.log like the align route's."""
+    cx, cy = np.asarray(cx, np.float64), np.asarray(cy, np.float64)
+    for b in range(cx.shape[0]):
+        olog(
+            "Inter-band shifting of MSB%d: %d valid values", b + 1,
+            int(np.asarray(n_valid)[b]),
+        )
+        olog("\tdeltaX coeff: [1] %.15f, [0] %.9f", cx[b, 1], cx[b, 0])
+        olog(
+            "\tdeltaY coeff: [2] %.15f, [1] %.15f, [0] %.9f",
+            cy[b, 2], cy[b, 1], cy[b, 0],
+        )
+
+
+def log_scene_params(params, n_valid, n_stt: int) -> None:
+    """OLOG the whole fused step's estimated parameters: per-band
+    registration fits + the averaged (clamped) stt deltas the prestitch
+    resample used (stitcher.h:196-199's "everage value" log)."""
+    cx, cy, stt_dx, stt_dy = params
+    log_band_coeffs(cx, cy, n_valid)
+    olog(
+        "Total %d valid delta value pairs found, everage value: "
+        "dx: %.5f, dy: %.5f",
+        n_stt, float(stt_dx), float(stt_dy),
+    )
+
+
 def _row_blocks(arr, total_rows: int | None = None):
     """Yield the rows of a device array as host blocks in line order: one
     block per addressable shard for a line-sharded array (never
@@ -202,16 +232,17 @@ def run_scene(
         )
     with stage("scene_pipeline", p1.nbytes * 2 + ms.nbytes):
         if mss2_file:
-            aligned, stitched, prestt, n_valid, n_stt = pipeline(
+            aligned, stitched, prestt, n_valid, n_stt, params = pipeline(
                 pan1, pan2, mss, pan1_params, pan2_params, mss_params
             )
         else:
-            aligned, stitched, n_valid, n_stt = pipeline(
+            aligned, stitched, n_valid, n_stt, params = pipeline(
                 pan1, pan2, mss, pan1_params, pan2_params, mss_params
             )
         jax.block_until_ready(stitched)
     check_registration_valid(np.asarray(n_valid))
     check_stt_valid(np.asarray(n_stt))
+    log_scene_params(params, np.asarray(n_valid), int(n_stt))
 
     order = [2, 1, 0, 3] if bgr_tiff_order else [0, 1, 2, 3]
 
@@ -273,9 +304,10 @@ def run_scene(
             n_sections=sections, threshold=threshold,
         )
     with stage("scene_align_mss2", ms2.nbytes):
-        aligned2, n_valid2 = align2(prestt, mss2, mss2_params)
+        aligned2, n_valid2, coeffs2 = align2(prestt, mss2, mss2_params)
         jax.block_until_ready(aligned2)
     check_registration_valid(np.asarray(n_valid2))
+    log_band_coeffs(coeffs2[0], coeffs2[1], np.asarray(n_valid2))
 
     aligned2_path = build_output_file_path(
         mss2_file, IBPA_STEM_EXT, TIFF_FILE_EXT, out_dir=out_dir

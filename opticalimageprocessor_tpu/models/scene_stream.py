@@ -526,6 +526,11 @@ def run_scene_streamed(
         )
     check_registration_valid(np.asarray(n_valid))
     check_stt_valid(np.asarray(n_stt))
+    from .scene import log_scene_params
+
+    log_scene_params(
+        (coeff_x, coeff_y, dxs, dys), np.asarray(n_valid), int(n_stt)
+    )
 
     # ---- phase 2: streamed RRC + resamples + concat
     fold = fold_cols // 2
@@ -650,6 +655,9 @@ def run_scene_streamed(
             threshold, (64, 64), pan_corrected=True,
         )
     check_registration_valid(np.asarray(n_valid2))
+    from .scene import log_band_coeffs
+
+    log_band_coeffs(coeff_x2, coeff_y2, np.asarray(n_valid2))
 
     aligned2_path = build_output_file_path(
         mss2_file, IBPA_STEM_EXT, TIFF_FILE_EXT, out_dir=out_dir

@@ -272,8 +272,9 @@ def make_sharded_scene_fn(
     Same signature and outputs as
     ``models.device_pipeline.make_device_pipeline`` — (pan1, pan2, mss,
     pan1_params, pan2_params, mss_params) -> (aligned, stitched[, prestt],
-    n_valid_register, n_valid_stt) — with the strip inputs line-sharded
-    and the raster outputs line-sharded (drain via addressable_shards).
+    n_valid_register, n_valid_stt, params) — with the strip inputs
+    line-sharded and the raster outputs line-sharded (drain via
+    addressable_shards); the fitted ``params`` are replicated.
 
     Strip-length contract: line-sharded arrays must divide the mesh
     evenly, so callers ZERO-PAD the strips at the bottom to
@@ -457,9 +458,10 @@ def make_sharded_scene_fn(
           dxs, dys)
         # outputs stay at the padded length (uneven shardings are not
         # representable); drains trim to the real row counts
+        params = (coeff_x, coeff_y, dxs, dys)
         if return_prestt:
-            return aligned, stitched, prestt, n_valid, n_stt
-        return aligned, stitched, n_valid, n_stt
+            return aligned, stitched, prestt, n_valid, n_stt, params
+        return aligned, stitched, n_valid, n_stt, params
 
     line2 = NamedSharding(mesh, P(LINE_AXIS, None))
     line3 = NamedSharding(mesh, P(None, LINE_AXIS, None))
@@ -470,7 +472,7 @@ def make_sharded_scene_fn(
     )
     if return_prestt:
         out_shardings = out_shardings + (line2,)
-    out_shardings = out_shardings + (rep, rep)
+    out_shardings = out_shardings + (rep, rep, (rep, rep, rep, rep))
     return jax.jit(
         pipeline,
         in_shardings=(line2, line2, line3, rep, rep, rep),
@@ -499,8 +501,9 @@ def make_sharded_mss_align_fn(
 
     signature: (pan_c u16 (L_pad, W) line-sharded, mss u16
     (4, L_pad/4, W/4), mss_params) -> (aligned (L_pad/4, W/4, 4)
-    line-sharded, n_valid (4,)).  Same padded-strip contract as
-    :func:`make_sharded_scene_fn` (``lines_pan`` = real length).
+    line-sharded, n_valid (4,), (cx (4, 2), cy (4, 3)) replicated).
+    Same padded-strip contract as :func:`make_sharded_scene_fn`
+    (``lines_pan`` = real length).
     """
     n_dev = mesh.shape[LINE_AXIS]
     use_fused = all(d.platform == "tpu" for d in mesh.devices.flat)
@@ -536,7 +539,7 @@ def make_sharded_mss_align_fn(
             out_specs=P(LINE_AXIS, None, None),
             check_vma=False,
         )(mss_c, coeff_x, coeff_y)
-        return aligned, n_valid
+        return aligned, n_valid, (coeff_x, coeff_y)
 
     line2 = NamedSharding(mesh, P(LINE_AXIS, None))
     line3 = NamedSharding(mesh, P(None, LINE_AXIS, None))
@@ -544,5 +547,7 @@ def make_sharded_mss_align_fn(
     return jax.jit(
         align,
         in_shardings=(line2, line3, rep),
-        out_shardings=(NamedSharding(mesh, P(LINE_AXIS, None, None)), rep),
+        out_shardings=(
+            NamedSharding(mesh, P(LINE_AXIS, None, None)), rep, (rep, rep)
+        ),
     )

@@ -150,11 +150,22 @@ def reset_stage_report() -> None:
 
 @contextlib.contextmanager
 def trace_annotation(name: str):
-    """JAX profiler annotation; no-op if profiling is unavailable."""
+    """JAX profiler annotation; no-op if profiling is unavailable.
+
+    Only the annotation *setup* is guarded: exceptions raised by the
+    annotated body must propagate untouched (a guard spanning the yield
+    would catch them and yield again, turning every stage error into
+    contextlib's opaque "generator didn't stop after throw()").
+    """
     try:
         import jax.profiler as _prof
 
-        with _prof.TraceAnnotation(name):
-            yield
+        cm = _prof.TraceAnnotation(name)
+        cm.__enter__()
     except Exception:
+        cm = None
+    try:
         yield
+    finally:
+        if cm is not None:
+            cm.__exit__(None, None, None)

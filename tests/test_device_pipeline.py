@@ -179,9 +179,12 @@ def test_device_pipeline_shapes(rng):
         np.stack([rrc.split_rrc_params(np.ones(3072), np.zeros(3072))] * 4)
     )
     pipeline = make_device_pipeline(slices=8, fold=200, stt_sections=4)
-    aligned, stitched, n_valid, n_stt = pipeline(
+    aligned, stitched, n_valid, n_stt, params = pipeline(
         jnp.asarray(pan1_h), jnp.asarray(pan2_h), mss, pp, pp, mp
     )
+    # the logged params are the fit/stt values the resamples consumed
+    assert np.asarray(params[0]).shape == (4, 2)
+    assert np.asarray(params[1]).shape == (4, 3)
     assert aligned.shape == (lines_mss, 3072, 4)
     assert stitched.shape == (lines_pan, 2 * (PIXELS_PER_LINE - 200))
     assert aligned.dtype == jnp.uint16 and stitched.dtype == jnp.uint16
@@ -225,7 +228,7 @@ def test_pipeline_odd_strip_lengths(rng):
     pipe = dp.make_device_pipeline(
         slices=8, stt_sections=2, overlap_cols=32, fold=32
     )
-    aligned, stitched, n_valid, n_stt = jax.jit(pipe)(
+    aligned, stitched, n_valid, n_stt, _params = jax.jit(pipe)(
         pan1, pan2, mss, params, params, bparams
     )
     assert aligned.shape == (lines_pan // 4, width // 4, 4)

@@ -327,7 +327,7 @@ def test_sharded_scene_matches_single_device(rng):
     )
 
     kw = dict(slices=8, fold=ov // 2, stt_sections=2, overlap_cols=ov)
-    a1, s1, nv1, ns1 = make_device_pipeline(**kw)(
+    a1, s1, nv1, ns1, prm1 = make_device_pipeline(**kw)(
         jnp.asarray(pan1), jnp.asarray(pan2), jnp.asarray(mss), pp, pp, mp
     )
     check_registration_valid(np.asarray(nv1))
@@ -337,7 +337,7 @@ def test_sharded_scene_matches_single_device(rng):
     fn = make_sharded_scene_fn(m, lines_pan, width, **kw)
     l2 = NamedSharding(m, P("line", None))
     l3 = NamedSharding(m, P(None, "line", None))
-    a2, s2, nv2, ns2 = fn(
+    a2, s2, nv2, ns2, prm2 = fn(
         jax.device_put(pan1, l2), jax.device_put(pan2, l2),
         jax.device_put(mss, l3), pp, pp, mp,
     )
