@@ -220,6 +220,21 @@ def test_stage_report():
     assert rep["unit_test_stage"]["calls"] == 1
 
 
+def test_stage_propagates_body_exception():
+    """An exception inside a stage() body must surface as ITSELF.
+    trace_annotation's availability guard once spanned the yield, so any
+    stage error was caught there and re-yielded -- contextlib then raised
+    an opaque 'generator didn't stop after throw()' RuntimeError that
+    masked every real pipeline failure."""
+    from opticalimageprocessor_tpu.utils import logging as ulog
+
+    with pytest.raises(ValueError, match="the real error"):
+        with ulog.stage("unit_test_fail_stage", 1):
+            raise ValueError("the real error")
+    # and the stage is still accounted (finally path ran)
+    assert "unit_test_fail_stage" in ulog.stage_report()
+
+
 def test_native_scan_aos_matches_numpy(rng):
     """The single-pass native AOS scan (oip_scan_aos) reproduces the
     vectorised numpy state machine exactly — counts, payload stream, and

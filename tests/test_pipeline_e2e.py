@@ -452,7 +452,7 @@ def test_cli_stitch_and_exit_codes(tmp_path, rng):
     )
 
 
-def test_cli_scene_fused_pipeline(tmp_path, rng):
+def test_cli_scene_fused_pipeline(tmp_path, rng, caplog):
     """`oiptpu scene`: the fused whole-scene pipeline (device_pipeline) from
     files to ALIGNED.TIFF + stitched PAN in one run."""
     import jax.numpy as jnp
@@ -499,6 +499,11 @@ def test_cli_scene_fused_pipeline(tmp_path, rng):
         out_dir=str(tmp_path), pixels_per_line=PPL,
     )
     del cli  # CLI dispatch covered by test_cli_scene_usage_errors
+    # the fused step's estimated parameters are OLOG'd (reference
+    # preproc.h:552-560 / stitcher.h:196-199): 8 registration fits (CMOS1
+    # + CMOS2 bands) and the averaged stt deltas
+    assert caplog.text.count("deltaX coeff") == 8
+    assert "everage value" in caplog.text
     aligned = tiff_io.read_tiff(str(tmp_path / "S1.MSS.ALIGNED.TIFF"))
     assert aligned.shape == (lines_mss, band_px, 4)
     for ch, b in enumerate([2, 1, 0, 3]):  # disk order [2,1,0,3]
