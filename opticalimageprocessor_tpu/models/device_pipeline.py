@@ -124,24 +124,17 @@ def register_fast(
     if exact_sizes:
         pad = (get_optimal_dft_size(corr_rows), get_optimal_dft_size(cols))
     else:
-        # zero-pad the tile width to an MXU-smooth DFT length (the
-        # reference's cv::phaseCorrelate pads to getOptimalDFTSize the
-        # same way): the default 1228-px tile is 4*307 with 307 prime,
-        # which otherwise falls back to a direct 1228x1228 DFT matmul —
-        # the dominant cost of the register stage (docs/PERF.md)
-        from ..ops.fft_mxu import fast_pad_len
-
-        pad = (corr_rows, fast_pad_len(cols, MSS_BANDS))
+        pad = (corr_rows, cols)
     win = phasecorr.clamp_win(win, pad)
     if use_fused is None:
         use_fused = jax.default_backend() == "tpu"
-    # the fused kernel needs M = 4*brows (no row padding) and an
-    # 8-divisible ky-block that divides brows
+    # the fused kernel needs M = 4*brows (no padding) and an 8-divisible
+    # ky-block that divides brows
     use_fused = (
         use_fused
         and not exact_sizes
         and brows % 8 == 0
-        and pad[0] == corr_rows
+        and pad == (corr_rows, cols)
     )
     sec_stride = (
         (lines_pan - corr_rows) // max(1, n_sections - 1)
@@ -184,12 +177,6 @@ def register_fast(
                 (0, row0 // MSS_BANDS, i * bcols),
                 (MSS_BANDS, brows, bcols),
             )
-            if pad[1] != cols:
-                # band tiles carry the same smooth-length zero pad (/4)
-                bt4 = jnp.pad(
-                    bt4,
-                    ((0, 0), (0, 0), (0, pad[1] // MSS_BANDS - bcols)),
-                )
             fbr4, fbi4 = phasecorr.band_full_spectrum_small(bt4)
             return windowed_crosspower_fused_bands(
                 far, fai, fbr4, fbi4, pad, brows, win[0], win[1], interpret
@@ -203,10 +190,6 @@ def register_fast(
                 up = resample.upsample4_f32(bt.astype(jnp.float32))
                 fbr, fbi = phasecorr.rfft2_padded(up, pad, True)
             else:
-                if pad[1] != cols:
-                    bt = jnp.pad(
-                        bt, ((0, 0), (0, pad[1] // MSS_BANDS - bcols))
-                    )
                 fbr, fbi = phasecorr.upsampled_band_spectrum(bt)
             outs.append(
                 phasecorr.peak_from_spectra_windowed(
@@ -288,12 +271,6 @@ def _register_tiles_batched(
             bts = jnp.transpose(
                 bt.reshape(MSS_BANDS, brows, gs, bcols), (2, 0, 1, 3)
             )
-            if pad[1] != cols:
-                bts = jnp.pad(
-                    bts,
-                    ((0, 0), (0, 0), (0, 0),
-                     (0, pad[1] // MSS_BANDS - bcols)),
-                )
             fbr4, fbi4 = phasecorr.band_full_spectrum_small(bts)
             parts.append(
                 windowed_crosspower_fused_tiles(

@@ -315,9 +315,7 @@ def _estimate_registration(
     geom = _RegGeom.build(
         pan_strip.lines, pan_strip.pixels_per_line, slices, n_sections
     )
-    from ..ops.fft_mxu import fast_pad_len
-
-    pad = (geom.corr_rows, fast_pad_len(geom.cols, MSS_BANDS))
+    pad = (geom.corr_rows, geom.cols)
     win = phasecorr.clamp_win(win, pad)
     use_fused = (
         jax.default_backend() == "tpu" and geom.brows % 8 == 0

@@ -98,28 +98,6 @@ def _factor(n: int) -> tuple[int, int]:
     raise ValueError(f"cannot factor FFT length {n} into MXU-sized factors")
 
 
-@functools.lru_cache(maxsize=256)
-def fast_pad_len(n: int, multiple: int = 4) -> int:
-    """Smallest MXU-smooth DFT length >= ``n`` that is a multiple of
-    ``multiple``: max prime factor <= 13, so :func:`_factor` always finds a
-    balanced four-step split instead of a direct NxN DFT matmul.
-
-    The moral equivalent of ``cv::getOptimalDFTSize`` (the reference's
-    phase correlations zero-pad to it inside ``cv::phaseCorrelate``),
-    tuned for the MXU: e.g. the default registration tile width
-    12288/10 = 1228 = 4*307 (307 prime -> direct 1228x1228 matmul per
-    tile) pads to 1232 = 2^4*7*11 (+0.3% pixels, four-step (44, 28))."""
-    m = n + (-n) % multiple
-    while True:
-        r = m
-        for p in (2, 3, 5, 7, 11, 13):
-            while r % p == 0:
-                r //= p
-        if r == 1:
-            return m
-        m += multiple
-
-
 def _mm(a, b):
     dt = _STAGE_DTYPE
     if dt == jnp.float32:

@@ -102,12 +102,7 @@ class _RegGeom:
 def _windowed_peak_tile(p, bs, pad, brows, use_fused, win):
     """Fast windowed peaks of one PAN tile vs its 4 band tiles (the
     register_fast per-slice math: shared PAN spectrum, spectral band
-    upsample, band-batched fused Pallas cross-power on TPU).  ``pad`` may
-    exceed the tile (MXU-smooth zero pad, ``fft_mxu.fast_pad_len``); the
-    band tiles are padded to ``pad/4`` here to match."""
-    n_small = pad[1] // MSS_BANDS
-    if bs.shape[-1] != n_small:
-        bs = jnp.pad(bs, ((0, 0), (0, 0), (0, n_small - bs.shape[-1])))
+    upsample, band-batched fused Pallas cross-power on TPU)."""
     far, fai = phasecorr.rfft2_padded(p.astype(jnp.float32), pad, True)
     if use_fused:
         from ..ops.phasecorr_pallas import windowed_crosspower_fused_bands
@@ -140,9 +135,7 @@ def _correlate_sharded(
     materialised."""
     n_dev = mesh.shape[LINE_AXIS]
     t_pad = -(-g.t_total // n_dev) * n_dev
-    from ..ops.fft_mxu import fast_pad_len
-
-    pad = (g.corr_rows, fast_pad_len(g.cols, MSS_BANDS))
+    pad = (g.corr_rows, g.cols)
     win = phasecorr.clamp_win(win, pad)
 
     def pan_tile(sec, i):
