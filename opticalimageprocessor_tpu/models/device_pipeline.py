@@ -398,7 +398,10 @@ def make_device_pipeline(
              -> (aligned u16 (L/4, 3072, 4),
                  stitched u16 (L, 2*(12288-fold)),
                  n_valid_register (4,) i32, n_valid_stt () i32,
-                 params = (cx (4, 2), cy (4, 3), stt_dx (), stt_dy ()))
+                 params = (cx (4, 2), cy (4, 3), stt_dx (), stt_dy (),
+                           raw_stt_dx (), raw_stt_dy ()) — stt_dx/dy are
+                 the clamped values the prestitch resample consumed,
+                 raw_* the unclamped averages for the reference log)
 
     Every input pixel is processed exactly once: PAN1 takes RRC +
     registration + the stitch left half; PAN2 takes its own RRC, the
@@ -433,13 +436,13 @@ def make_device_pipeline(
         )
         # reference order: CalcSttParameters correlates the *uncorrected*
         # strips (main.cpp:280-284 runs it before DoRRC)
-        dxs, dys, _resp, n_stt = stt_estimate_fast(
+        raw_dx, raw_dy, _resp, n_stt = stt_estimate_fast(
             pan1, pan2, stt_sections, stt_lines, overlap_cols,
             threshold=stt_threshold, max_delta_y=stt_max_delta_y,
         )
-        dxs = jnp.clip(dxs, -(col_halo - 2.0), col_halo - 2.0)
+        dxs = jnp.clip(raw_dx, -(col_halo - 2.0), col_halo - 2.0)
         dys = jnp.clip(
-            dys, -(prestt_row_bound - 2.0), prestt_row_bound - 2.0
+            raw_dy, -(prestt_row_bound - 2.0), prestt_row_bound - 2.0
         )
         out = resample.remap_const_stitch_chunked(
             pan1, pan2, pan1_params, pan2_params, dxs, dys, fold,
@@ -449,7 +452,7 @@ def make_device_pipeline(
             col_halo=col_halo,
             want_prestt=return_prestt,
         )
-        params = (coeffs[0], coeffs[1], dxs, dys)
+        params = (coeffs[0], coeffs[1], dxs, dys, raw_dx, raw_dy)
         if return_prestt:
             stitched, prestt = out
             return aligned, stitched, prestt, n_valid, n_stt, params

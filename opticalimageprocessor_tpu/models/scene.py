@@ -63,15 +63,28 @@ def log_band_coeffs(cx, cy, n_valid) -> None:
 
 def log_scene_params(params, n_valid, n_stt: int) -> None:
     """OLOG the whole fused step's estimated parameters: per-band
-    registration fits + the averaged (clamped) stt deltas the prestitch
-    resample used (stitcher.h:196-199's "everage value" log)."""
-    cx, cy, stt_dx, stt_dy = params
+    registration fits + the averaged stt deltas (stitcher.h:196-199's
+    "everage value" log prints the RAW average, reference semantics);
+    when the static-band clamp engaged, also log the clamped values the
+    prestitch resample actually consumed."""
+    cx, cy, stt_dx, stt_dy, raw_dx, raw_dy = params
     log_band_coeffs(cx, cy, n_valid)
+    stt_dx, stt_dy = float(stt_dx), float(stt_dy)
+    raw_dx, raw_dy = float(raw_dx), float(raw_dy)
     olog(
         "Total %d valid delta value pairs found, everage value: "
         "dx: %.5f, dy: %.5f",
-        n_stt, float(stt_dx), float(stt_dy),
+        n_stt, raw_dx, raw_dy,
     )
+    if (stt_dx, stt_dy) != (raw_dx, raw_dy):
+        from ..utils.logging import logw
+
+        logw(
+            "stt deltas clamped to the supported resample band: "
+            "dx %.5f -> %.5f, dy %.5f -> %.5f (raise col_halo / "
+            "prestt-row-bound for larger mounting offsets)",
+            raw_dx, stt_dx, raw_dy, stt_dy,
+        )
 
 
 def _row_blocks(arr, total_rows: int | None = None):

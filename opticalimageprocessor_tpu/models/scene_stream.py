@@ -164,13 +164,13 @@ def _stt_avg_fn():
         w = ok.astype(f32)
         n = w.sum()
         denom = jnp.maximum(n, 1.0)
-        dxs = (dx * w).sum() / denom
-        dys = (dy * w).sum() / denom
-        dxs = jnp.clip(dxs, -(col_halo - 2.0), col_halo - 2.0)
+        raw_dx = (dx * w).sum() / denom
+        raw_dy = (dy * w).sum() / denom
+        dxs = jnp.clip(raw_dx, -(col_halo - 2.0), col_halo - 2.0)
         dys = jnp.clip(
-            dys, -(prestt_row_bound - 2.0), prestt_row_bound - 2.0
+            raw_dy, -(prestt_row_bound - 2.0), prestt_row_bound - 2.0
         )
-        return dxs, dys, n.astype(jnp.int32)
+        return dxs, dys, raw_dx, raw_dy, n.astype(jnp.int32)
 
     return stt_avg
 
@@ -520,7 +520,7 @@ def run_scene_streamed(
             p1, ms, pan1_params, mss_params, slices, sections, threshold,
             (64, 64), pan_corrected=False,
         )
-        dxs, dys, n_stt = _estimate_stt(
+        dxs, dys, raw_dx, raw_dy, n_stt = _estimate_stt(
             p1, p2, stt_sections, fold_cols, stt_threshold,
             stt_max_delta_y, col_halo, prestt_row_bound, (64, 64),
         )
@@ -529,7 +529,8 @@ def run_scene_streamed(
     from .scene import log_scene_params
 
     log_scene_params(
-        (coeff_x, coeff_y, dxs, dys), np.asarray(n_valid), int(n_stt)
+        (coeff_x, coeff_y, dxs, dys, raw_dx, raw_dy),
+        np.asarray(n_valid), int(n_stt),
     )
 
     # ---- phase 2: streamed RRC + resamples + concat

@@ -394,10 +394,10 @@ def make_sharded_scene_fn(
             geom.centers, dx, dy, rs, threshold
         )
 
-        dxs, dys, n_stt = _stt(pan1, pan2)
-        dxs = jnp.clip(dxs, -(col_halo - 2.0), col_halo - 2.0)
+        raw_dx, raw_dy, n_stt = _stt(pan1, pan2)
+        dxs = jnp.clip(raw_dx, -(col_halo - 2.0), col_halo - 2.0)
         dys = jnp.clip(
-            dys, -(prestt_row_bound - 2.0), prestt_row_bound - 2.0
+            raw_dy, -(prestt_row_bound - 2.0), prestt_row_bound - 2.0
         )
 
         # --- remaps + concat: one shard_map with ppermute halos; RRC of
@@ -458,7 +458,7 @@ def make_sharded_scene_fn(
           dxs, dys)
         # outputs stay at the padded length (uneven shardings are not
         # representable); drains trim to the real row counts
-        params = (coeff_x, coeff_y, dxs, dys)
+        params = (coeff_x, coeff_y, dxs, dys, raw_dx, raw_dy)
         if return_prestt:
             return aligned, stitched, prestt, n_valid, n_stt, params
         return aligned, stitched, n_valid, n_stt, params
@@ -472,7 +472,7 @@ def make_sharded_scene_fn(
     )
     if return_prestt:
         out_shardings = out_shardings + (line2,)
-    out_shardings = out_shardings + (rep, rep, (rep, rep, rep, rep))
+    out_shardings = out_shardings + (rep, rep, (rep,) * 6)
     return jax.jit(
         pipeline,
         in_shardings=(line2, line2, line3, rep, rep, rep),

@@ -168,4 +168,7 @@ def trace_annotation(name: str):
         yield
     finally:
         if cm is not None:
-            cm.__exit__(None, None, None)
+            try:
+                cm.__exit__(None, None, None)
+            except Exception:
+                pass  # profiler teardown must never mask the body's result

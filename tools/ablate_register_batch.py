@@ -61,7 +61,7 @@ def main():
 
     variants = [
         ("laxmap (r3 default)", dict(section_batch=1)),
-        ("batched g=10 (full section)", dict(section_batch=None)),
+        ("batched g=10 (full section)", dict(section_batch=10)),
         ("batched g=5", dict(section_batch=5)),
         ("batched g=2", dict(section_batch=2)),
     ]

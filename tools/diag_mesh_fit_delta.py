@@ -18,14 +18,18 @@ from __future__ import annotations
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_platforms", os.environ.get("OIP_JAX_PLATFORM", "cpu"))
+jax.config.update(
+    "jax_platforms",
+    os.environ.get(
+        "OIP_JAX_PLATFORM", os.environ.get("JAX_PLATFORMS", "cpu")
+    ),
+)
 
 from opticalimageprocessor_tpu.constants import MSS_BANDS, PIXELS_PER_LINE
 from opticalimageprocessor_tpu.models.device_pipeline import register_fast
