@@ -89,8 +89,9 @@ class PreProcessor:
         self.pan = raw_io.RawStrip(self.pan_file, self.pixels_per_line)
         self.mss = raw_io.RawStrip(self.mss_file, self.pixels_per_line)
         self._check_files_attributes()
-        self._pan_rrc: np.ndarray | None = None       # (linesPAN, 12288)
-        self._mss_bands: np.ndarray | None = None     # (4, linesMSS, 3072)
+        self._pan_params = None       # (6, 12288) f32 split RRC, or None
+        self._mss_params = None       # list of 4 (6, 3072), or None
+        self._loaded = False
 
     # -- stage 1: geometry invariants (preproc.h:552-572) -------------------
     def _check_files_attributes(self):
@@ -101,57 +102,85 @@ class PreProcessor:
 
     # -- stages 2+3: load + RRC ---------------------------------------------
     def load_and_rrc(self, do_rrc_pan: bool = False, do_rrc_mss: bool = True):
-        """Materialise (RRC-corrected) PAN and band-split MSS.
+        """Prepare the (RRC-corrected) strip accessors.
 
-        The MSS raw line is 4 contiguous band segments (preproc.h:62-75);
-        reshaping (lines, 4, 3072) -> (4, lines, 3072) puts bands on a
-        leading axis so every later stage batches over them.
+        Since round 3 the strips are no longer materialised whole: every
+        consumer reads row ranges straight from the memory maps through
+        :meth:`pan_rows` / :meth:`band_rows`, which apply the byte-exact
+        RRC on demand — host RSS stays bounded by one section regardless
+        of strip length (the blueprint's host-streamed sections, SURVEY
+        §7; the reference materialises whole strips, imageop.h:110-127).
+        Outputs are bit-identical to the materialised flow: RRC is
+        elementwise and every later stage reads the same rows.
         """
-        with stage("load_pan", self.pan.nbytes):
-            pan = np.asarray(self.pan)
         if do_rrc_pan:
             if not self.rrc_pan_file:
                 raise ValueError("RRC parameter file of PAN needed")
-            params = jnp.asarray(
+            self._pan_params = jnp.asarray(
                 load_split_params(self.rrc_pan_file, self.pixels_per_line)
-            )
-            with stage("rrc_pan", pan.nbytes):
-                pan = np.asarray(rrc.rrc_apply(jnp.asarray(pan), params))
-        self._pan_rrc = pan
-
-        with stage("load_mss", self.mss.nbytes):
-            from ..utils import native
-
-            bands = native.deinterleave_bands(
-                np.asarray(self.mss), MSS_BANDS, self.band_px
             )
         if do_rrc_mss:
             if not self.rrc_mss_files or any(
                 not f for f in self.rrc_mss_files
             ):
                 raise ValueError("RRC parameter file of all MSS Bands needed")
-            for b in range(MSS_BANDS):
-                params = jnp.asarray(
-                    load_split_params(self.rrc_mss_files[b], self.band_px)
-                )
-                with stage(f"rrc_mss_b{b}", bands[b].nbytes):
-                    bands[b] = np.asarray(
-                        rrc.rrc_apply(jnp.asarray(bands[b]), params)
-                    )
-        self._mss_bands = bands
+            self._mss_params = [
+                jnp.asarray(load_split_params(f, self.band_px))
+                for f in self.rrc_mss_files
+            ]
+        self._loaded = True
+
+    def pan_rows(self, a: int, b: int) -> np.ndarray:
+        """(RRC-corrected) PAN rows [a, b) from the memory map."""
+        rows = np.ascontiguousarray(self.pan.section(a, b - a))
+        if self._pan_params is not None:
+            rows = np.asarray(
+                rrc.rrc_apply(jnp.asarray(rows), self._pan_params)
+            )
+        return rows
+
+    def band_rows(self, band: int, a: int, b: int) -> np.ndarray:
+        """(RRC-corrected) MSS band-``band`` rows [a, b): the raw MSS line
+        is 4 contiguous band segments (preproc.h:62-75) — slice this
+        band's segment out of the mapped rows, then RRC."""
+        seg = np.ascontiguousarray(
+            self.mss.section(a, b - a)
+            .reshape(-1, MSS_BANDS, self.band_px)[:, band]
+        )
+        if self._mss_params is not None:
+            seg = np.asarray(
+                rrc.rrc_apply(jnp.asarray(seg), self._mss_params[band])
+            )
+        return seg
+
+    _WRITE_CHUNK_ROWS = 4096
 
     def write_rrc_pan_raw(self):
         path = build_output_file_path(
             self.pan_file, RRC_STEM_EXT, out_dir=self.out_dir
         )
-        raw_io.write_raw_image(path, self._pan_rrc)
+        with stage("write_rrc_pan", self.pan.nbytes), open(path, "wb") as f:
+            for a in range(0, self.lines_pan, self._WRITE_CHUNK_ROWS):
+                self.pan_rows(
+                    a, min(a + self._WRITE_CHUNK_ROWS, self.lines_pan)
+                ).tofile(f)
         return path
 
     def write_rrc_pan_tiff(self, line_offset: int = 0):
         path = build_output_file_path(
             self.pan_file, RRC_STEM_EXT, TIFF_FILE_EXT, out_dir=self.out_dir
         )
-        tiff_io.write_tiff(path, self._pan_rrc[line_offset:])
+        rows = self.lines_pan - line_offset
+        with stage("write_rrc_pan", rows * self.pixels_per_line * 2):
+            w = tiff_io.TiffStripWriter(path, self.pixels_per_line, rows)
+            for a in range(line_offset, self.lines_pan,
+                           self._WRITE_CHUNK_ROWS):
+                w.write_rows(
+                    self.pan_rows(
+                        a, min(a + self._WRITE_CHUNK_ROWS, self.lines_pan)
+                    )
+                )
+            w.close()
         return path
 
     # -- stage 4: inter-band correlation ------------------------------------
@@ -179,7 +208,7 @@ class PreProcessor:
                 f"({CORRELATION_LINES} lines per section), not enough total "
                 "PAN data lines"
             )
-        assert self._pan_rrc is not None, "call load_and_rrc() first"
+        assert self._loaded, "call load_and_rrc() first"
 
         base_rows = min(self.lines_pan, CORRELATION_LINES)
         base_gap = (self.lines_pan - base_rows * sections) // (sections + 1)
@@ -192,30 +221,40 @@ class PreProcessor:
             "Calculating inter-band correlation with %d slices in %d "
             "section(s) ...", slices, sections,
         )
-        pan_tiles = []
-        band_tiles = []
+        # one sampled section in RAM at a time (bounded RSS); sectioning
+        # the batch only regroups independent per-tile correlations
         centers = []
-        for sec in range(sections):
-            r0 = base_gap + sec * (base_rows + base_gap)
-            br0 = band_gap + sec * (band_rows + band_gap)
-            for i in range(slices):
-                pan_tiles.append(
-                    self._pan_rrc[r0 : r0 + base_rows, i * cols : (i + 1) * cols]
-                )
-                for b in range(MSS_BANDS):
-                    band_tiles.append(
-                        self._mss_bands[
-                            b,
-                            br0 : br0 + band_rows,
-                            i * band_cols : (i + 1) * band_cols,
-                        ]
-                    )
-                centers.append(i * cols + cols // 2)
-
+        sec_stats = []
         with stage("ibc_correlate"):
-            dxs, dys, rss = _correlate_tiles(
-                np.stack(pan_tiles), np.stack(band_tiles), MSS_BANDS
-            )
+            for sec in range(sections):
+                r0 = base_gap + sec * (base_rows + base_gap)
+                br0 = band_gap + sec * (band_rows + band_gap)
+                pan_block = self.pan_rows(r0, r0 + base_rows)
+                band_blocks = [
+                    self.band_rows(b, br0, br0 + band_rows)
+                    for b in range(MSS_BANDS)
+                ]
+                pan_tiles = []
+                band_tiles = []
+                for i in range(slices):
+                    pan_tiles.append(
+                        pan_block[:, i * cols : (i + 1) * cols]
+                    )
+                    for b in range(MSS_BANDS):
+                        band_tiles.append(
+                            band_blocks[b][
+                                :, i * band_cols : (i + 1) * band_cols
+                            ]
+                        )
+                    centers.append(i * cols + cols // 2)
+                sec_stats.append(
+                    _correlate_tiles(
+                        np.stack(pan_tiles), np.stack(band_tiles), MSS_BANDS
+                    )
+                )
+        dxs, dys, rss = (
+            np.concatenate([s[k] for s in sec_stats]) for k in range(3)
+        )
 
         self.band_shifts = [[] for _ in range(MSS_BANDS)]
         for t in range(sections * slices):
@@ -316,7 +355,9 @@ class PreProcessor:
                         np.asarray(
                             resample.remap_band_fast_chunked(
                                 jnp.asarray(
-                                    self._mss_bands[b, line_offset:]
+                                    self.band_rows(
+                                        b, line_offset, self.lines_mss
+                                    )
                                 ),
                                 self.coeff_x[b].astype(np.float32),
                                 self.coeff_y[b].astype(np.float32),
@@ -365,7 +406,7 @@ class PreProcessor:
                 )
                 merged = np.empty((lines, self.band_px, MSS_BANDS), np.uint16)
                 for b in range(MSS_BANDS):
-                    sec = self._mss_bands[b, offset : offset + lines]
+                    sec = self.band_rows(b, offset, offset + lines)
                     merged[:, :, b] = np.asarray(
                         resample.remap_section_u16(jnp.asarray(sec), plans[b])
                     )

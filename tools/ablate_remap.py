@@ -1,0 +1,151 @@
+"""Same-process ablation timing for the fast remap stages.
+
+Attributes the flagship pipeline's resample costs (PERF.md "Where the
+time goes"): the 4-band alignment remap (~30 ms at 32768 lines) and the
+fused stitch tail (~27 ms) sit 10-25x above HBM speed-of-light, so this
+times each piece jit-wrapped with a forced readback (cross-run numbers
+are invalid on this host — docs/PERF.md methodology).
+
+Pieces:
+  band       remap_band_fast_chunked (row_bound / chunk / col einsum
+             precision sweeps)
+  bandcol    column-matmul pass only (vertical MACs skipped)
+  bandrow    vertical masked-MAC pass only (column matmul skipped)
+  stitch     remap_const_stitch_chunked (the fused dual-CMOS tail)
+
+Usage: python tools/ablate_remap.py [--lines 32768]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def timeit(fn, args, n=5):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    first = out[0] if isinstance(out, (tuple, list)) else out
+    _ = np.asarray(first.reshape(-1)[0])
+    ts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        first = out[0] if isinstance(out, (tuple, list)) else out
+        _ = np.asarray(first.reshape(-1)[i % 3])
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e3, float(np.median(ts)) * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lines", type=int, default=32768)
+    ap.add_argument("--n", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from opticalimageprocessor_tpu.constants import (
+        MSS_BANDS,
+        PIXELS_PER_LINE,
+        PIXELS_PER_MSSBAND,
+    )
+    from opticalimageprocessor_tpu.ops import resample, rrc
+
+    rng = np.random.default_rng(0)
+    lines_mss = args.lines // MSS_BANDS
+    band = jnp.asarray(
+        rng.integers(0, 65535, (lines_mss, PIXELS_PER_MSSBAND), np.uint16)
+    )
+    mss4 = jnp.asarray(
+        rng.integers(
+            0, 65535, (MSS_BANDS, lines_mss, PIXELS_PER_MSSBAND), np.uint16
+        )
+    )
+    pan1 = jnp.asarray(
+        rng.integers(0, 65535, (args.lines, PIXELS_PER_LINE), np.uint16)
+    )
+    pan2 = jnp.asarray(
+        rng.integers(0, 65535, (args.lines, PIXELS_PER_LINE), np.uint16)
+    )
+    p1 = jnp.asarray(rrc.split_rrc_params(np.ones(PIXELS_PER_LINE),
+                                          np.zeros(PIXELS_PER_LINE)))
+    cx = jnp.asarray([0.8, -1.2e-5], jnp.float32)
+    cy = jnp.asarray([1.5, 1.0e-5, -3e-10], jnp.float32)
+    dx = jnp.float32(-3.2)
+    dy = jnp.float32(2.4)
+
+    print(f"lines={args.lines} (band {lines_mss}x{PIXELS_PER_MSSBAND}, "
+          f"pan {args.lines}x{PIXELS_PER_LINE})")
+
+    # -- full band remap sweeps (x4 bands to match the pipeline stage) ----
+    for rb in (1, 3, 6):
+        for chunk in (512, 2048):
+            f = jax.jit(lambda m, cx=cx, cy=cy, rb=rb, chunk=chunk: jnp.stack(
+                [
+                    resample.remap_band_fast_chunked(
+                        m[i], cx, cy, chunk_rows=chunk, row_bound=rb,
+                        col_block=128, col_halo=16,
+                    )
+                    for i in range(MSS_BANDS)
+                ], axis=-1))
+            mn, md = timeit(f, (mss4,), args.n)
+            print(f"band x4: row_bound={rb} chunk={chunk} "
+                  f"min={mn:.1f} med={md:.1f} ms")
+
+    # -- column matmul only (one band) ------------------------------------
+    cm = resample._col_interp_matrix(cx, PIXELS_PER_MSSBAND, 128, 16)
+
+    def col_only(m):
+        def one(i):
+            blk = jax.lax.dynamic_slice_in_dim(m, i * 512, 512, 0)
+            return resample._col_interp_apply(blk.astype(jnp.float32), cm)
+        n_chunks = lines_mss // 512
+        out = jax.lax.map(one, jnp.arange(n_chunks))
+        return jnp.clip(jnp.rint(out), 0, 65535).astype(jnp.uint16)
+
+    mn, md = timeit(jax.jit(col_only), (band,), args.n)
+    print(f"bandcol x1: chunk=512 min={mn:.1f} med={md:.1f} ms")
+
+    # -- vertical MAC pass only (one band) ---------------------------------
+    for rb in (1, 3, 6):
+        g = resample._band_g(cy, PIXELS_PER_MSSBAND)
+        halo = rb + 2
+
+        def row_only(m, rb=rb, halo=halo, g=g):
+            padded = jnp.pad(m.astype(jnp.float32),
+                             ((halo + 1, halo + 1), (0, 0)))
+
+            def one(i):
+                blk = jax.lax.dynamic_slice_in_dim(
+                    padded, i * 512, 512 + 2 * halo, 0)
+                acc = resample._fast_row_pass(
+                    blk, g, 512, PIXELS_PER_MSSBAND, rb, 0)
+                return jnp.clip(jnp.rint(acc), 0, 65535).astype(jnp.uint16)
+
+            n_chunks = lines_mss // 512
+            return jax.lax.map(one, jnp.arange(n_chunks))
+
+        mn, md = timeit(jax.jit(row_only), (band,), args.n)
+        print(f"bandrow x1: row_bound={rb} min={mn:.1f} med={md:.1f} ms")
+
+    # -- fused stitch tail --------------------------------------------------
+    for chunk in (512, 2048):
+        f = jax.jit(
+            lambda a, b, dx=dx, dy=dy, chunk=chunk:
+            resample.remap_const_stitch_chunked(
+                a, b, p1, p1, dx, dy, 200, chunk_rows=chunk,
+                row_bound=8, col_block=128, col_halo=16,
+            )
+        )
+        mn, md = timeit(f, (pan1, pan2), args.n)
+        print(f"stitch: chunk={chunk} min={mn:.1f} med={md:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
