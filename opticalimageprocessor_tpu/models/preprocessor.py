@@ -349,29 +349,22 @@ class PreProcessor:
         aligned = np.zeros((total_out, self.band_px, MSS_BANDS), np.uint16)
 
         if self.fast:
+            skip = 0 if keep_leading_lines else section_overlap
             with stage("alignment_fast", self.mss.nbytes):
-                whole = np.stack(
-                    [
-                        np.asarray(
-                            resample.remap_band_fast_chunked(
-                                jnp.asarray(
-                                    self.band_rows(
-                                        b, line_offset, self.lines_mss
-                                    )
-                                ),
-                                self.coeff_x[b].astype(np.float32),
-                                self.coeff_y[b].astype(np.float32),
-                                chunk_rows=4096,
-                            )
+                # one band in flight at a time (bounded host RSS: the
+                # remapped band is dropped as soon as it lands in `aligned`)
+                for b in range(MSS_BANDS):
+                    whole = np.asarray(
+                        resample.remap_band_fast_chunked(
+                            jnp.asarray(
+                                self.band_rows(b, line_offset, self.lines_mss)
+                            ),
+                            self.coeff_x[b].astype(np.float32),
+                            self.coeff_y[b].astype(np.float32),
+                            chunk_rows=4096,
                         )
-                        for b in range(MSS_BANDS)
-                    ],
-                    axis=-1,
-                )
-            if keep_leading_lines:
-                aligned[:] = whole[:total_out]
-            else:
-                aligned[:] = whole[section_overlap : section_overlap + total_out]
+                    )
+                    aligned[..., b] = whole[skip : skip + total_out]
             if not write_tiff:
                 return aligned
             path = build_output_file_path(

@@ -209,6 +209,70 @@ def test_preprocessor_end_to_end(synthetic_scene, tmp_path):
         assert corr > 0.9, (band, corr)
 
 
+def test_preprocessor_row_accessors_match_whole_strip(
+    synthetic_scene, tmp_path
+):
+    """The streamed row accessors (pan_rows/band_rows, the r3 replacement
+    for whole-strip LoadPAN/LoadMSS materialisation) are bit-identical to
+    RRC applied over the whole strip, on any row range; the chunked
+    write_rrc_pan_raw emits the same bytes as a whole-strip RRC."""
+    import jax.numpy as jnp
+
+    from opticalimageprocessor_tpu.models.preprocessor import PreProcessor
+    from opticalimageprocessor_tpu.ops import rrc
+
+    sc = synthetic_scene
+    rng = np.random.default_rng(5)
+    rrc_pan = str(tmp_path / "pan.rrc")
+    rrc_csv.save_rrc_params(
+        rrc_pan,
+        np.stack(
+            [0.9 + 0.2 * rng.random(PPL), rng.normal(0, 30, PPL)], axis=1
+        ),
+    )
+    rrc_mss = []
+    for b in range(4):
+        p = str(tmp_path / f"m{b}.rrc")
+        rrc_csv.save_rrc_params(
+            p,
+            np.stack(
+                [0.9 + 0.2 * rng.random(BAND_PX),
+                 rng.normal(0, 30, BAND_PX)], axis=1,
+            ),
+        )
+        rrc_mss.append(p)
+
+    pp = PreProcessor(
+        sc["pan"], sc["mss"], rrc_pan, tuple(rrc_mss),
+        out_dir=str(tmp_path), pixels_per_line=PPL,
+    )
+    pp.load_and_rrc(do_rrc_pan=True, do_rrc_mss=True)
+
+    pan_whole = np.asarray(
+        rrc.rrc_apply(jnp.asarray(sc["pan_arr"]), pp._pan_params)
+    )
+    for a, b_ in ((0, 64), (100, 357), (pp.lines_pan - 3, pp.lines_pan)):
+        np.testing.assert_array_equal(pp.pan_rows(a, b_), pan_whole[a:b_])
+
+    mss_whole = np.fromfile(sc["mss"], "<u2").reshape(-1, 4, BAND_PX)
+    for band in range(4):
+        band_whole = np.asarray(
+            rrc.rrc_apply(
+                jnp.asarray(np.ascontiguousarray(mss_whole[:, band])),
+                pp._mss_params[band],
+            )
+        )
+        for a, b_ in ((0, 32), (77, 400)):
+            np.testing.assert_array_equal(
+                pp.band_rows(band, a, b_), band_whole[a:b_]
+            )
+
+    out = pp.write_rrc_pan_raw()
+    np.testing.assert_array_equal(
+        np.fromfile(out, "<u2").reshape(-1, PPL), pan_whole
+    )
+
+
 def test_preprocessor_fast_mode_matches_parity(synthetic_scene, tmp_path):
     """--fast (blocked-MXU resample, whole-strip streaming) stays within
     1 DN of the parity path away from the section seams the parity path
