@@ -100,12 +100,13 @@ def main():
 
     # -- column matmul only (one band) ------------------------------------
     cm = resample._col_interp_matrix(cx, PIXELS_PER_MSSBAND, 128, 16)
+    ck = min(512, lines_mss)
 
     def col_only(m):
         def one(i):
-            blk = jax.lax.dynamic_slice_in_dim(m, i * 512, 512, 0)
+            blk = jax.lax.dynamic_slice_in_dim(m, i * ck, ck, 0)
             return resample._col_interp_apply(blk.astype(jnp.float32), cm)
-        n_chunks = lines_mss // 512
+        n_chunks = lines_mss // ck
         out = jax.lax.map(one, jnp.arange(n_chunks))
         return jnp.clip(jnp.rint(out), 0, 65535).astype(jnp.uint16)
 
@@ -123,12 +124,12 @@ def main():
 
             def one(i):
                 blk = jax.lax.dynamic_slice_in_dim(
-                    padded, i * 512, 512 + 2 * halo, 0)
+                    padded, i * ck, ck + 2 * halo, 0)
                 acc = resample._fast_row_pass(
-                    blk, g, 512, PIXELS_PER_MSSBAND, rb, 0)
+                    blk, g, ck, PIXELS_PER_MSSBAND, rb, 0)
                 return jnp.clip(jnp.rint(acc), 0, 65535).astype(jnp.uint16)
 
-            n_chunks = lines_mss // 512
+            n_chunks = lines_mss // ck
             return jax.lax.map(one, jnp.arange(n_chunks))
 
         mn, md = timeit(jax.jit(row_only), (band,), args.n)
@@ -147,5 +148,61 @@ def main():
         print(f"stitch: chunk={chunk} min={mn:.1f} med={md:.1f} ms")
 
 
+def register_scaling(lines=32768, n=5):
+    """Attribute the register stage: does time scale linearly with the
+    tile count (compute-bound) or sublinearly (fixed overhead), and how
+    much is the lone PAN-tile rfft2?"""
+    import jax
+    import jax.numpy as jnp
+
+    from opticalimageprocessor_tpu.constants import (
+        MSS_BANDS,
+        PIXELS_PER_LINE,
+        PIXELS_PER_MSSBAND,
+    )
+    from opticalimageprocessor_tpu.models.device_pipeline import register_fast
+    from opticalimageprocessor_tpu.ops import fft_mxu, phasecorr
+
+    if jax.default_backend() == "tpu":
+        fft_mxu.set_stage_dtype(jnp.bfloat16)  # bench.py's fast mode
+    rng = np.random.default_rng(0)
+    lines_mss = lines // MSS_BANDS
+    pan = jnp.asarray(
+        rng.integers(0, 65535, (lines, PIXELS_PER_LINE), np.uint16)
+    )
+    mss = jnp.asarray(
+        rng.integers(
+            0, 65535, (MSS_BANDS, lines_mss, PIXELS_PER_MSSBAND), np.uint16
+        )
+    )
+
+    for slices, nsec in ((5, 1), (10, 1), (5, 2), (10, 2)):
+        f = jax.jit(
+            lambda p, m, s=slices, ns=nsec: register_fast(
+                p, m, slices=s, n_sections=ns
+            )[1]
+        )
+        mn, md = timeit(f, (pan, mss), n)
+        print(f"register: slices={slices} sections={nsec} "
+              f"({slices * nsec} tiles) min={mn:.1f} med={md:.1f} ms")
+
+    # lone PAN-tile forward rfft2 at the default tile shape
+    corr_rows, cols = 16000, PIXELS_PER_LINE // 10
+    tile = jnp.asarray(
+        rng.integers(0, 65535, (corr_rows, cols), np.uint16)
+    ).astype(jnp.float32)
+    f = jax.jit(
+        lambda t: phasecorr.rfft2_padded(t, (corr_rows, cols), True)[0]
+    )
+    mn, md = timeit(f, (tile,), n)
+    print(f"pan rfft2 {corr_rows}x{cols}: min={mn:.2f} med={md:.2f} ms "
+          f"(x20 tiles = {20 * mn:.0f} ms lower bound)")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--register" in sys.argv:
+        register_scaling()
+    else:
+        main()
