@@ -47,6 +47,36 @@ def set_stage_dtype(dtype) -> None:
     _STAGE_DTYPE = dtype
 
 
+# The transpose-free height transforms (_dft_axis2 / the folded-Hermitian
+# irfft) remove 4-6 materialised (H, W)-sized HBM round trips per rfft2 —
+# a large share of the registration stage on TPU, where dot_general with a
+# permuted output layout is still one deterministic MXU op.  XLA:CPU lowers
+# that same contraction through a loop emitter whose reduction partitioning
+# (and therefore f32 accumulation order) depends on the host thread/device
+# configuration — it changes results across
+# --xla_force_host_platform_device_count settings, which would break the
+# repo's bitwise route-equality gates on the CPU backend (measured: the stt
+# estimate moved 2.5e-6 px between 1- and 8-device configs).  So the
+# transpose-free forms are TPU-only; CPU keeps the config-stable
+# swapaxes + right-matmul structure.  None = auto (by backend).
+_TRANSPOSE_FREE: bool | None = None
+
+
+def set_transpose_free(v: bool | None) -> None:
+    """Force (True/False) or restore auto (None) transpose-free transforms."""
+    global _TRANSPOSE_FREE
+    _TRANSPOSE_FREE = v
+
+
+def _transpose_free() -> bool:
+    if _TRANSPOSE_FREE is not None:
+        return _TRANSPOSE_FREE
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 @functools.lru_cache(maxsize=64)
 def _dft_consts(n: int, inverse: bool) -> tuple[np.ndarray, np.ndarray]:
     """(cos, sin) of the n-point DFT matrix W[j,k] = exp(s*2pi*i*j*k/n),
@@ -169,10 +199,90 @@ def _dft_last_axis(x_re, x_im, n: int, inverse: bool, keep: int | None = None):
     return xr2, xi2
 
 
+def _emm_left(m, a):
+    """einsum('kj,...j<rest>->...k<rest>') in the stage dtype: DFT matrix
+    applied on the left of an interior axis — the transpose-free form."""
+    pat = "kj,...jc->...kc"
+    dt = _STAGE_DTYPE
+    if dt == jnp.float32:
+        return jnp.einsum(pat, m, a, precision=_HIGHEST)
+    return jnp.einsum(
+        pat, m.astype(dt), a.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dft_axis2(x_re, x_im, n: int, inverse: bool):
+    """1-D DFT along axis -2 of (..., n, C) by left contractions.
+
+    The transpose-free complement of :func:`_dft_last_axis`: the height
+    transform of a row-major (H, W) tile contracts H on the *left* of the
+    matmul, so the (H, W)-shaped intermediates never go through
+    materialised ``swapaxes`` round trips (each one costs a full
+    HBM read+write of both the re and im planes — measured as a large
+    share of the registration stage, docs/PERF.md).
+    """
+    n1, n2 = _factor(n)
+    if n2 == 1:
+        c, s = (jnp.asarray(v) for v in _dft_consts(n, inverse))
+        # (c + i s)^T rows index the output k: out = C @ x (C symmetric)
+        re = _emm_left(c, x_re)
+        im = _emm_left(s, x_re)
+        if x_im is not None:
+            re = re - _emm_left(s, x_im)
+            im = im + _emm_left(c, x_im)
+        return re, im
+
+    # four-step over axis -2: x[(j1*n2 + j2), c] -> (..., n1, n2, c)
+    batch = x_re.shape[:-2]
+    cdim = x_re.shape[-1]
+    xr = x_re.reshape(*batch, n1, n2, cdim)
+    xi = x_im.reshape(*batch, n1, n2, cdim) if x_im is not None else None
+
+    c1, s1 = (jnp.asarray(v) for v in _dft_consts(n1, inverse))
+
+    def emm(m, a, pat):
+        dt = _STAGE_DTYPE
+        if dt == jnp.float32:
+            return jnp.einsum(pat, m, a, precision=_HIGHEST)
+        return jnp.einsum(
+            pat, m.astype(dt), a.astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+
+    # step 1: DFT over j1 (axis -3)
+    p1 = "kj,...jmc->...kmc"
+    ar = emm(c1, xr, p1)
+    ai = emm(s1, xr, p1)
+    if xi is not None:
+        ar = ar - emm(s1, xi, p1)
+        ai = ai + emm(c1, xi, p1)
+
+    # step 2: twiddle on the (k1, j2) grid, broadcast over c
+    tc, ts = (jnp.asarray(v) for v in _twiddle_consts(n1, n2, inverse))
+    tc = tc[..., None]
+    ts = ts[..., None]
+    br = ar * tc - ai * ts
+    bi = ar * ts + ai * tc
+
+    # step 3: DFT over j2 with the (k2, k1) output order baked into the
+    # einsum (k = k1 + n1*k2 -> row-major (k2, k1) flatten), no transpose
+    c2, s2 = (jnp.asarray(v) for v in _dft_consts(n2, inverse))
+    p2 = "lm,...kmc->...lkc"
+    re = emm(c2, br, p2) - emm(s2, bi, p2)
+    im = emm(c2, bi, p2) + emm(s2, br, p2)
+    return (
+        re.reshape(*batch, n, cdim),
+        im.reshape(*batch, n, cdim),
+    )
+
+
 def fft2_mxu(x_re, x_im, inverse: bool = False):
     """2-D DFT of (..., H, W) via MXU matmuls.  No normalisation."""
     h, w = x_re.shape[-2], x_re.shape[-1]
     re, im = _dft_last_axis(x_re, x_im, w, inverse)
+    if _transpose_free():
+        return _dft_axis2(re, im, h, inverse)
     re = jnp.swapaxes(re, -1, -2)
     im = jnp.swapaxes(im, -1, -2)
     re, im = _dft_last_axis(re, im, h, inverse)
@@ -181,39 +291,77 @@ def fft2_mxu(x_re, x_im, inverse: bool = False):
 
 def rfft2_mxu(x):
     """rfft2 of a real (..., H, W) float32 array -> (re, im) of shape
-    (..., H, W//2+1)."""
+    (..., H, W//2+1).
+
+    Width pass: direct/four-step DFT along the last axis, truncated to the
+    half spectrum.  Height pass on TPU: left-contraction DFT along axis -2
+    (:func:`_dft_axis2`) — no materialised transposes anywhere; on CPU the
+    config-stable swapaxes form (see ``_TRANSPOSE_FREE``).
+    """
     h, w = x.shape[-2], x.shape[-1]
     keep = w // 2 + 1
     re, im = _dft_last_axis(x, None, w, inverse=False, keep=keep)
     re = re[..., :keep]
     im = im[..., :keep]
+    if _transpose_free():
+        return _dft_axis2(re, im, h, inverse=False)
     re = jnp.swapaxes(re, -1, -2)
     im = jnp.swapaxes(im, -1, -2)
     re, im = _dft_last_axis(re, im, h, inverse=False)
     return jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2)
 
 
+@functools.lru_cache(maxsize=32)
+def _irfft_real_consts(w: int) -> tuple[np.ndarray, np.ndarray]:
+    """(keep, w) matrices folding Hermitian symmetry into the real-output
+    inverse transform: x[c] = sum_k a_k (Re X_k cos - Im X_k sin)(2pi k c/w)
+    with a_0 = a_{w/2} = 1 (w even) and a_k = 2 otherwise."""
+    keep = w // 2 + 1
+    k = np.arange(keep, dtype=np.float64)[:, None]
+    c = np.arange(w, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * c / w
+    alpha = np.full((keep, 1), 2.0)
+    alpha[0, 0] = 1.0
+    if w % 2 == 0:
+        alpha[-1, 0] = 1.0
+    return (
+        (alpha * np.cos(ang)).astype(np.float32),
+        (alpha * np.sin(ang)).astype(np.float32),
+    )
+
+
 def irfft2_real_mxu(re, im, w: int):
     """Real part of the normalised 2-D inverse DFT given the half spectrum
     (..., H, W//2+1); returns (..., H, W) float32.
 
-    Reconstructs the full spectrum by Hermitian symmetry, then runs the
-    inverse four-step.  Only the real output is materialised.
+    On TPU the height inverse runs on the half spectrum (left
+    contractions, no transposes) and the width inverse folds the Hermitian
+    symmetry into a single (keep, W) real-output matmul pair — the
+    full-width complex spectrum is never materialised.  CPU (and widths
+    with no MXU-sized direct matrix) take the config-stable explicit
+    Hermitian completion + full inverse.
     """
     h = re.shape[-2]
     keep = re.shape[-1]
-    # Hermitian completion: X[ky, W-kx] = conj(X[(H-ky) mod H, kx]) for the
-    # missing columns kx' in [keep, W)
-    mid_re = re[..., 1 : w - keep + 1]
-    mid_im = im[..., 1 : w - keep + 1]
+    if w > _FACTOR_MAX or not _transpose_free():
+        # CPU (config-stable) path and rare huge-width fallback:
+        # complete the spectrum, full inverse
+        mid_re = re[..., 1 : w - keep + 1]
+        mid_im = im[..., 1 : w - keep + 1]
 
-    def roll_flip(a):  # row map ky -> (H - ky) mod H
-        return jnp.roll(jnp.flip(a, -2), 1, axis=-2)
+        def roll_flip(a):  # row map ky -> (H - ky) mod H
+            return jnp.roll(jnp.flip(a, -2), 1, axis=-2)
 
-    tail_re = roll_flip(jnp.flip(mid_re, -1))
-    tail_im = roll_flip(-jnp.flip(mid_im, -1))
-    full_re = jnp.concatenate([re, tail_re], axis=-1)
-    full_im = jnp.concatenate([im, tail_im], axis=-1)
+        full_re = jnp.concatenate(
+            [re, roll_flip(jnp.flip(mid_re, -1))], axis=-1
+        )
+        full_im = jnp.concatenate(
+            [im, roll_flip(-jnp.flip(mid_im, -1))], axis=-1
+        )
+        out_re, _ = fft2_mxu(full_re, full_im, inverse=True)
+        return out_re / jnp.float32(h * w)
 
-    out_re, _ = fft2_mxu(full_re, full_im, inverse=True)
-    return out_re / jnp.float32(h * w)
+    hr, hi = _dft_axis2(re, im, h, inverse=True)
+    cr, sr = (jnp.asarray(v) for v in _irfft_real_consts(w))
+    out = _mm(hr, cr) - _mm(hi, sr)
+    return out / jnp.float32(h * w)

@@ -7,10 +7,19 @@ import pytest
 from opticalimageprocessor_tpu.ops import fft_mxu
 
 
+@pytest.fixture(params=[False, True], ids=["swapaxes", "transpose-free"])
+def tfree(request):
+    """Run both height-transform structures (the TPU transpose-free form
+    and the CPU config-stable swapaxes form) on the CPU test backend."""
+    fft_mxu.set_transpose_free(request.param)
+    yield request.param
+    fft_mxu.set_transpose_free(None)
+
+
 @pytest.mark.parametrize(
     "shape", [(64, 50), (128, 128), (250, 96), (500, 250), (1600, 128)]
 )
-def test_rfft2_matches_numpy(shape, rng):
+def test_rfft2_matches_numpy(shape, rng, tfree):
     x = (rng.random(shape) * 100).astype(np.float32)
     re, im = fft_mxu.rfft2_mxu(jnp.asarray(x))
     want = np.fft.rfft2(x)
@@ -19,8 +28,17 @@ def test_rfft2_matches_numpy(shape, rng):
     np.testing.assert_allclose(np.asarray(im), want.imag, atol=2e-6 * scale)
 
 
-@pytest.mark.parametrize("shape", [(64, 50), (250, 96), (320, 250)])
-def test_irfft2_roundtrip(shape, rng):
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (64, 50),
+        (250, 96),
+        (320, 250),
+        (64, 51),     # odd width: no Nyquist bin in the alpha weights
+        (50, 2500),   # width > _FACTOR_MAX: Hermitian-completion fallback
+    ],
+)
+def test_irfft2_roundtrip(shape, rng, tfree):
     x = (rng.random(shape) * 100).astype(np.float32)
     f = np.fft.rfft2(x)
     back = fft_mxu.irfft2_real_mxu(
@@ -31,7 +49,7 @@ def test_irfft2_roundtrip(shape, rng):
     np.testing.assert_allclose(np.asarray(back), x, atol=2e-3)
 
 
-def test_fft2_inverse_identity(rng):
+def test_fft2_inverse_identity(rng, tfree):
     x = (rng.random((96, 80)) * 10).astype(np.float32)
     re, im = fft_mxu.fft2_mxu(jnp.asarray(x), None, inverse=False)
     back_re, back_im = fft_mxu.fft2_mxu(re, im, inverse=True)
