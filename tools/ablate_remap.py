@@ -19,9 +19,16 @@ Usage: python tools/ablate_remap.py [--lines 32768]
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
+
+if os.environ.get("OIP_JAX_PLATFORM"):
+    # the axon plugin ignores JAX_PLATFORMS; the config knob wins (cli.py)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["OIP_JAX_PLATFORM"])
 
 
 def timeit(fn, args, n=5):
