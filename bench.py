@@ -27,6 +27,16 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    plat = os.environ.get("OIP_JAX_PLATFORM") or os.environ.get(
+        "JAX_PLATFORMS"
+    )
+    if plat:
+        # hosted TPU plugins ignore the JAX_PLATFORMS env var; the config
+        # knob wins (cli.py does the same) — without this the CPU smoke
+        # test initialises the TPU backend and hangs when the tunnel is
+        # unreachable
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from opticalimageprocessor_tpu.constants import (

@@ -289,7 +289,9 @@ def _scene(argv) -> int:
         "--stream", action="store_true", default=False,
         help=(
             "stream the scene in sections (bounded HBM/host RSS for "
-            "scenes larger than device memory; bit-identical outputs)"
+            "scenes larger than device memory; bit-identical outputs; "
+            "combine with --mesh N to shard each section over the mesh "
+            "for scenes beyond N x HBM)"
         ),
     )
     p.add_argument(
@@ -297,8 +299,6 @@ def _scene(argv) -> int:
         help="PAN lines per streamed section (with --stream)",
     )
     a = p.parse_args(argv)
-    if a.stream and a.mesh:
-        raise UsageError("--stream and --mesh are mutually exclusive")
     if a.fold_cols < 2:
         raise UsageError("fold column value too small")
     if not (0.0 <= a.ibc_threshold < 1.0) or not (
@@ -333,7 +333,7 @@ def _scene(argv) -> int:
 
         run_scene_streamed(
             a.pan1, a.pan2, a.mss, a.rrc_pan1, a.rrc_pan2, rrc_mss,
-            section_rows=a.stream_section_lines, **common,
+            section_rows=a.stream_section_lines, mesh=a.mesh, **common,
         )
         return 0
     from .models.scene import run_scene

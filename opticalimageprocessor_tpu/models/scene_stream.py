@@ -175,12 +175,116 @@ def _stt_avg_fn():
     return stt_avg
 
 
-def _section_step_fn():
-    import jax
+def _section_math(
+    p1_sec, p2_pad, mss_pad, p2_mask, mss_mask,
+    pan1_par, pan2_par, mss_par, coeff_x, coeff_y, dxs, dys,
+    *, fold, chunk_rows, row_bound, prestt_row_bound, col_block,
+    col_halo,
+):
+    """One streamed section: RRC + resamples + concat (shared by the
+    single-device jit and the shard_map local body — every output row is
+    a function of its halo'd neighbourhood and the fitted constants only,
+    so the same math gives bit-identical rows under any row partitioning).
+
+    ``p1_sec``: (S, W) u16 (no halo — concat only); ``p2_pad``:
+    (S + 2*(prestt_row_bound+2), W); ``mss_pad``:
+    (4, S/4 + 2*(row_bound+2), W/4) — halo rows are true neighbour
+    rows from the file.  ``p2_mask``/``mss_mask`` flag rows inside
+    the strip: rows beyond the strip must read the resample's
+    border value 0 *after* RRC (the RRC bias would otherwise turn
+    the zero-filled file rows nonzero — the resident pipeline pads
+    post-RRC)."""
     import jax.numpy as jnp
 
     from ..ops import resample
     from ..parallel.sharded import _rrc_jnp
+
+    width = p1_sec.shape[1]
+    sec_rows = p1_sec.shape[0]
+
+    p1c = _rrc_jnp(p1_sec, pan1_par)
+    p2c = jnp.where(
+        p2_mask[:, None], _rrc_jnp(p2_pad, pan2_par), jnp.uint16(0)
+    )
+    prestt = resample._remap_const_over_padded(
+        resample.pad_for_fast_remap(
+            p2c, sec_rows, chunk_rows, prestt_row_bound
+        ),
+        sec_rows, dxs, dys, chunk_rows, prestt_row_bound,
+        col_block, col_halo,
+    )
+    stitched = jnp.concatenate(
+        [p1c[:, : width - fold], prestt[:, fold:]], axis=1
+    )
+    aligned = _mss_section_math(
+        mss_pad, mss_mask, mss_par, coeff_x, coeff_y,
+        chunk_rows=chunk_rows, row_bound=row_bound,
+        col_block=col_block, col_halo=col_halo,
+    )
+    return aligned, stitched, prestt
+
+
+def _mss_section_math(
+    mss_pad, mss_mask, mss_par, coeff_x, coeff_y,
+    *, chunk_rows, row_bound, col_block, col_halo,
+):
+    """RRC + alignment resample of a halo'd (4, rows, W/4) band section
+    (``mss_mask`` zeroes the beyond-strip halo rows post-RRC)."""
+    import jax.numpy as jnp
+
+    from ..ops import resample
+    from ..parallel.sharded import _rrc_jnp
+
+    f32 = jnp.float32
+    sec_b = mss_pad.shape[1] - 2 * (row_bound + 2)
+    band_w = mss_pad.shape[2]
+    outs = []
+    for b in range(MSS_BANDS):
+        bc = jnp.where(
+            mss_mask[:, None], _rrc_jnp(mss_pad[b], mss_par[b]),
+            jnp.uint16(0),
+        )
+        col_matrix = resample._col_interp_matrix(
+            jnp.asarray(coeff_x[b], f32), band_w, col_block, col_halo
+        )
+        g = resample._band_g(coeff_y[b], band_w)
+        outs.append(
+            resample._remap_fast_over_padded(
+                resample.pad_for_fast_remap(
+                    bc, sec_b, chunk_rows, row_bound
+                ),
+                sec_b, coeff_x[b], coeff_y[b], chunk_rows, row_bound,
+                col_matrix, g,
+            )
+        )
+    return jnp.stack(outs, axis=-1)
+
+
+def _section_step_fn():
+    import jax
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "fold", "chunk_rows", "row_bound", "prestt_row_bound",
+            "col_block", "col_halo",
+        ),
+    )
+    def section_step(*args, **kw):
+        return _section_math(*args, **kw)
+
+    return section_step
+
+
+def _section_step_mesh_fn(mesh):
+    """Mesh variant of the section step: the host stacks per-device row
+    blocks (each with its own true-neighbour halos, so no collectives are
+    needed) and every device runs the identical section math on its block
+    under shard_map — per-chip HBM is bounded by section_rows/N."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import LINE_AXIS
 
     @functools.partial(
         jax.jit,
@@ -190,107 +294,70 @@ def _section_step_fn():
         ),
     )
     def section_step(
-        p1_sec, p2_pad, mss_pad, p2_mask, mss_mask,
+        p1_st, p2_st, mss_st, p2m_st, mssm_st,
         pan1_par, pan2_par, mss_par, coeff_x, coeff_y, dxs, dys,
-        *, fold, chunk_rows, row_bound, prestt_row_bound, col_block,
-        col_halo,
+        **static,
     ):
-        """One streamed section: RRC + resamples + concat.
-
-        ``p1_sec``: (S, W) u16 (no halo — concat only); ``p2_pad``:
-        (S + 2*(prestt_row_bound+2), W); ``mss_pad``:
-        (4, S/4 + 2*(row_bound+2), W/4) — halo rows are true neighbour
-        rows from the file.  ``p2_mask``/``mss_mask`` flag rows inside
-        the strip: rows beyond the strip must read the resample's
-        border value 0 *after* RRC (the RRC bias would otherwise turn
-        the zero-filled file rows nonzero — the resident pipeline pads
-        post-RRC)."""
-        f32 = jnp.float32
-        width = p1_sec.shape[1]
-        sec_rows = p1_sec.shape[0]
-        sec_b = mss_pad.shape[1] - 2 * (row_bound + 2)
-
-        p1c = _rrc_jnp(p1_sec, pan1_par)
-        p2c = jnp.where(
-            p2_mask[:, None], _rrc_jnp(p2_pad, pan2_par), jnp.uint16(0)
-        )
-        prestt = resample._remap_const_over_padded(
-            resample.pad_for_fast_remap(
-                p2c, sec_rows, chunk_rows, prestt_row_bound
-            ),
-            sec_rows, dxs, dys, chunk_rows, prestt_row_bound,
-            col_block, col_halo,
-        )
-        stitched = jnp.concatenate(
-            [p1c[:, : width - fold], prestt[:, fold:]], axis=1
-        )
-
-        band_w = mss_pad.shape[2]
-        outs = []
-        for b in range(MSS_BANDS):
-            bc = jnp.where(
-                mss_mask[:, None], _rrc_jnp(mss_pad[b], mss_par[b]),
-                jnp.uint16(0),
+        def local(p1_l, p2_l, mss_l, p2m_l, mssm_l, *params):
+            aligned, stitched, prestt = _section_math(
+                p1_l[0], p2_l[0], mss_l[0], p2m_l[0], mssm_l[0],
+                *params, **static,
             )
-            col_matrix = resample._col_interp_matrix(
-                jnp.asarray(coeff_x[b], f32), band_w, col_block, col_halo
-            )
-            g = resample._band_g(coeff_y[b], band_w)
-            outs.append(
-                resample._remap_fast_over_padded(
-                    resample.pad_for_fast_remap(
-                        bc, sec_b, chunk_rows, row_bound
-                    ),
-                    sec_b, coeff_x[b], coeff_y[b], chunk_rows, row_bound,
-                    col_matrix, g,
-                )
-            )
-        aligned = jnp.stack(outs, axis=-1)
-        return aligned, stitched, prestt
+            return aligned[None], stitched[None], prestt[None]
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(LINE_AXIS),) * 5 + (P(),) * 7,
+            out_specs=(P(LINE_AXIS),) * 3,
+            check_vma=False,
+        )(
+            p1_st, p2_st, mss_st, p2m_st, mssm_st,
+            pan1_par, pan2_par, mss_par, coeff_x, coeff_y, dxs, dys,
+        )
 
     return section_step
 
 
 def _mss_section_fn():
     import jax
-    import jax.numpy as jnp
-
-    from ..ops import resample
-    from ..parallel.sharded import _rrc_jnp
 
     @functools.partial(
         jax.jit,
         static_argnames=("chunk_rows", "row_bound", "col_block", "col_halo"),
     )
-    def mss_section(
-        mss_pad, mss_mask, mss_par, coeff_x, coeff_y,
-        *, chunk_rows, row_bound, col_block, col_halo,
-    ):
-        """Streamed CMOS2 MSS section: RRC + alignment resample only
-        (``mss_mask`` zeroes the beyond-strip halo rows post-RRC)."""
-        f32 = jnp.float32
-        sec_b = mss_pad.shape[1] - 2 * (row_bound + 2)
-        band_w = mss_pad.shape[2]
-        outs = []
-        for b in range(MSS_BANDS):
-            bc = jnp.where(
-                mss_mask[:, None], _rrc_jnp(mss_pad[b], mss_par[b]),
-                jnp.uint16(0),
-            )
-            col_matrix = resample._col_interp_matrix(
-                jnp.asarray(coeff_x[b], f32), band_w, col_block, col_halo
-            )
-            g = resample._band_g(coeff_y[b], band_w)
-            outs.append(
-                resample._remap_fast_over_padded(
-                    resample.pad_for_fast_remap(
-                        bc, sec_b, chunk_rows, row_bound
-                    ),
-                    sec_b, coeff_x[b], coeff_y[b], chunk_rows, row_bound,
-                    col_matrix, g,
-                )
-            )
-        return jnp.stack(outs, axis=-1)
+    def mss_section(*args, **kw):
+        """Streamed CMOS2 MSS section: RRC + alignment resample only."""
+        return _mss_section_math(*args, **kw)
+
+    return mss_section
+
+
+def _mss_section_mesh_fn(mesh):
+    """Mesh variant of the CMOS2 MSS section step (host-stacked per-device
+    halo'd blocks, same math per device under shard_map)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import LINE_AXIS
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("chunk_rows", "row_bound", "col_block", "col_halo"),
+    )
+    def mss_section(mss_st, mssm_st, mss_par, coeff_x, coeff_y, **static):
+        def local(mss_l, mssm_l, *params):
+            return _mss_section_math(
+                mss_l[0], mssm_l[0], *params, **static
+            )[None]
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(LINE_AXIS),) * 2 + (P(),) * 3,
+            out_specs=P(LINE_AXIS),
+            check_vma=False,
+        )(mss_st, mssm_st, mss_par, coeff_x, coeff_y)
 
     return mss_section
 
@@ -476,10 +543,23 @@ def run_scene_streamed(
     col_block: int = 128,
     col_halo: int = 16,
     prestt_row_bound: int = 8,
+    mesh: int = 0,
 ):
     """Streamed scene: same outputs as ``run_scene`` (bit-identical on the
     same scene) with HBM and host RSS bounded by one ``section_rows``
-    section regardless of strip size."""
+    section regardless of strip size.
+
+    ``mesh=N`` (`scene --stream --mesh N`) runs N streamed sections
+    concurrently, one per device of an N-device line mesh: the host
+    stacks N single-device-SHAPED section blocks, each carrying its own
+    true-neighbour halo rows, so every device runs the identical section
+    program with no collectives — per-chip HBM stays bounded by one
+    section and the transform rate scales with N.  Keeping the per-device
+    block shape equal to the single-device section shape keeps the
+    outputs BIT-identical to the unsharded stream (XLA codegen is
+    shape-dependent at small block sizes).  Estimation (phase 1) stays
+    single-device: it reads only sampled windows and is a negligible
+    share of the work."""
     import jax
     import jax.numpy as jnp
 
@@ -504,6 +584,24 @@ def run_scene_streamed(
     section_rows = min(section_rows, max(chunk_rows, p1.lines))
     if section_rows % MSS_BANDS:
         raise ValueError("section_rows must be a multiple of 4")
+    mesh_obj = None
+    if mesh:
+        if len(jax.devices()) < mesh:
+            raise RuntimeError(
+                f"--mesh {mesh} needs {mesh} devices, only "
+                f"{len(jax.devices())} available"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import LINE_AXIS, line_mesh
+
+        mesh_obj = line_mesh(mesh)
+        shard_line = NamedSharding(mesh_obj, P(LINE_AXIS))
+        olog(
+            "Streamed scene sharded over %d-device '%s' mesh "
+            "(%d sections of %d PAN lines in flight).",
+            mesh, LINE_AXIS, mesh, section_rows,
+        )
 
     pan1_params = load_split_params(rrc_pan1, pixels_per_line)
     pan2_params = load_split_params(rrc_pan2, pixels_per_line)
@@ -564,7 +662,9 @@ def run_scene_streamed(
         )
         prestt_w = raw_io.RawStripWriter(prestt_path, pixels_per_line)
 
-    step = _section_step_fn()
+    step = (
+        _section_step_mesh_fn(mesh_obj) if mesh_obj else _section_step_fn()
+    )
     params_dev = (
         jnp.asarray(pan1_params, jnp.float32),
         jnp.asarray(pan2_params, jnp.float32),
@@ -573,35 +673,75 @@ def run_scene_streamed(
     halo_p = prestt_row_bound + 2
     halo_b = row_bound + 2
     sec_b = section_rows // MSS_BANDS
-    n_secs = -(-p1.lines // section_rows)
+    # with a mesh, N single-device-SHAPED sections run concurrently (one
+    # per device): every device block is the exact section the one-device
+    # loop would process, so the per-row programs compile to the same
+    # shapes and the outputs stay bit-identical to the unsharded stream
+    # (XLA codegen is shape-dependent at small block sizes — measured
+    # 1 DN flips when the same rows go through differently-shaped blocks)
+    span = section_rows * (mesh or 1)
+    n_secs = -(-p1.lines // span)
 
     def row_mask(a, b, lines):
         r = np.arange(a, b)
         return jnp.asarray((r >= 0) & (r < lines))
 
+    def stack_blocks(base, n, local, halo):
+        """(rows, ...) halo'd window -> (n, local + 2*halo, ...) per-device
+        blocks; block d covers rows [d*local - halo, (d+1)*local + halo)
+        of the un-halo'd range (true neighbour rows shared at seams)."""
+        return np.stack(
+            [base[d * local : d * local + local + 2 * halo] for d in range(n)]
+        )
+
     def submit(k):
-        a = k * section_rows
-        valid = min(section_rows, p1.lines - a)
-        p1_sec = jnp.asarray(
-            _window_rows(p1._mm, p1.lines, a, a + section_rows)
-        )
-        p2_pad = jnp.asarray(
-            _window_rows(p2._mm, p2.lines, a - halo_p,
-                         a + section_rows + halo_p)
-        )
+        a = k * span
+        valid = min(span, p1.lines - a)
         ab = a // MSS_BANDS
-        mss_pad = jnp.asarray(
-            np.ascontiguousarray(
-                _window_rows(
-                    ms._mm.reshape(ms.lines, MSS_BANDS, band_px),
-                    ms.lines, ab - halo_b, ab + sec_b + halo_b,
-                ).transpose(1, 0, 2)
-            )
+        span_b = span // MSS_BANDS
+        p1_sec = _window_rows(p1._mm, p1.lines, a, a + span)
+        p2_pad = _window_rows(
+            p2._mm, p2.lines, a - halo_p, a + span + halo_p
         )
+        mss_base = _window_rows(
+            ms._mm.reshape(ms.lines, MSS_BANDS, band_px),
+            ms.lines, ab - halo_b, ab + span_b + halo_b,
+        )
+        p2m = np.arange(a - halo_p, a + span + halo_p)
+        p2m = (p2m >= 0) & (p2m < p2.lines)
+        msm = np.arange(ab - halo_b, ab + span_b + halo_b)
+        msm = (msm >= 0) & (msm < ms.lines)
+        if mesh_obj is None:
+            args = (
+                jnp.asarray(p1_sec),
+                jnp.asarray(p2_pad),
+                jnp.asarray(np.ascontiguousarray(mss_base.transpose(1, 0, 2))),
+                jnp.asarray(p2m),
+                jnp.asarray(msm),
+            )
+        else:
+            dev = jax.device_put
+            args = (
+                dev(p1_sec.reshape(mesh, section_rows, -1), shard_line),
+                dev(
+                    stack_blocks(p2_pad, mesh, section_rows, halo_p),
+                    shard_line,
+                ),
+                dev(
+                    np.ascontiguousarray(
+                        stack_blocks(
+                            mss_base, mesh, sec_b, halo_b
+                        ).transpose(0, 2, 1, 3)
+                    ),
+                    shard_line,
+                ),
+                dev(
+                    stack_blocks(p2m, mesh, section_rows, halo_p), shard_line
+                ),
+                dev(stack_blocks(msm, mesh, sec_b, halo_b), shard_line),
+            )
         aligned, stitched, prestt = step(
-            p1_sec, p2_pad, mss_pad,
-            row_mask(a - halo_p, a + section_rows + halo_p, p2.lines),
-            row_mask(ab - halo_b, ab + sec_b + halo_b, ms.lines),
+            *args,
             *params_dev, coeff_x, coeff_y, dxs, dys,
             fold=fold, chunk_rows=chunk_rows, row_bound=row_bound,
             prestt_row_bound=prestt_row_bound, col_block=col_block,
@@ -609,17 +749,22 @@ def run_scene_streamed(
         )
         return aligned, stitched, prestt, valid
 
+    def merge(arr):
+        """Host view of a section output, per-device blocks merged."""
+        a = np.asarray(arr)
+        return a.reshape(-1, *a.shape[2:]) if mesh_obj is not None else a
+
     def drain(out):
         aligned, stitched, prestt, valid = out
         vb = valid // MSS_BANDS
-        aligned_w.write_rows(np.asarray(aligned)[:vb][:, :, order])
-        st_h = np.asarray(stitched)[:valid]
+        aligned_w.write_rows(merge(aligned)[:vb][:, :, order])
+        st_h = merge(stitched)[:valid]
         if stitched_tiff:
             stitched_w.write_rows(st_h)
         else:
             stitched_w.write_lines(st_h)
         if prestt_w is not None:
-            prestt_w.write_lines(np.asarray(prestt)[:valid])
+            prestt_w.write_lines(merge(prestt)[:valid])
 
     with stage("stream_transform", p1.nbytes * 2 + ms.nbytes):
         pending = None
@@ -666,41 +811,58 @@ def run_scene_streamed(
     aligned2_w = tiff_io.TiffStripWriter(
         aligned2_path, band_px, ms2.lines, samples=MSS_BANDS
     )
-    mss_sec = _mss_section_fn()
+    mss_sec = (
+        _mss_section_mesh_fn(mesh_obj) if mesh_obj else _mss_section_fn()
+    )
     halo_b2 = mss2_row_bound + 2
     mss2_par_dev = jnp.asarray(mss2_params, jnp.float32)
 
+    span_b2 = sec_b * (mesh or 1)
+
     def submit2(k):
-        ab = k * sec_b
-        valid = min(sec_b, ms2.lines - ab)
-        mss_pad = jnp.asarray(
-            np.ascontiguousarray(
-                _window_rows(
-                    ms2._mm.reshape(ms2.lines, MSS_BANDS, band_px),
-                    ms2.lines, ab - halo_b2, ab + sec_b + halo_b2,
-                ).transpose(1, 0, 2)
-            )
+        ab = k * span_b2
+        valid = min(span_b2, ms2.lines - ab)
+        base = _window_rows(
+            ms2._mm.reshape(ms2.lines, MSS_BANDS, band_px),
+            ms2.lines, ab - halo_b2, ab + span_b2 + halo_b2,
         )
-        r = np.arange(ab - halo_b2, ab + sec_b + halo_b2)
-        mask = jnp.asarray((r >= 0) & (r < ms2.lines))
+        r = np.arange(ab - halo_b2, ab + span_b2 + halo_b2)
+        mask = (r >= 0) & (r < ms2.lines)
+        if mesh_obj is None:
+            mss_pad = jnp.asarray(
+                np.ascontiguousarray(base.transpose(1, 0, 2))
+            )
+            mask_dev = jnp.asarray(mask)
+        else:
+            mss_pad = jax.device_put(
+                np.ascontiguousarray(
+                    stack_blocks(base, mesh, sec_b, halo_b2).transpose(
+                        0, 2, 1, 3
+                    )
+                ),
+                shard_line,
+            )
+            mask_dev = jax.device_put(
+                stack_blocks(mask, mesh, sec_b, halo_b2), shard_line
+            )
         aligned = mss_sec(
-            mss_pad, mask, mss2_par_dev, coeff_x2, coeff_y2,
+            mss_pad, mask_dev, mss2_par_dev, coeff_x2, coeff_y2,
             chunk_rows=chunk_rows, row_bound=mss2_row_bound,
             col_block=col_block, col_halo=col_halo,
         )
         return aligned, valid
 
-    n_secs2 = -(-ms2.lines // sec_b)
+    n_secs2 = -(-ms2.lines // span_b2)
     with stage("stream_transform_mss2", ms2.nbytes):
         pending2 = None
         for k in range(n_secs2):
             out = submit2(k)
             if pending2 is not None:
                 a2, v2 = pending2
-                aligned2_w.write_rows(np.asarray(a2)[:v2][:, :, order])
+                aligned2_w.write_rows(merge(a2)[:v2][:, :, order])
             pending2 = out
         a2, v2 = pending2
-        aligned2_w.write_rows(np.asarray(a2)[:v2][:, :, order])
+        aligned2_w.write_rows(merge(a2)[:v2][:, :, order])
     aligned2_w.close()
     olog("Aligned MSS (CMOS2) written to %s", aligned2_path)
 

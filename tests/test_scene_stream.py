@@ -88,14 +88,38 @@ def test_scene_streamed_matches_resident(tmp_path, rng):
     assert os.path.getsize(o2["prestt"]) == 1024 * width * 2
 
 
-def test_scene_stream_cli_flags():
-    """--stream/--mesh are mutually exclusive (rc 254 before any work)."""
-    from opticalimageprocessor_tpu import cli
-
-    rc = cli.main(
-        [
-            "scene", "--pan1", "x", "--pan2", "y", "--mss", "z",
-            "--stream", "--mesh", "4",
-        ]
+def test_scene_streamed_mesh_matches_single_device(tmp_path, rng):
+    """`scene --stream --mesh N`: N single-device-shaped streamed sections
+    run concurrently, one per mesh device, as host-stacked blocks with
+    true-neighbour halos (no collectives) — outputs BIT-identical to the
+    single-device streamed run (identical per-block programs and shapes,
+    shared estimation), including the mss2 workflow outputs."""
+    from opticalimageprocessor_tpu.models.scene_stream import (
+        run_scene_streamed,
     )
-    assert rc == 254
+
+    width, ov = 640, 32
+    s = _make_scene(tmp_path, rng, lines_pan=1024, width=width, ov=ov)
+    oa = tmp_path / "one"
+    ob = tmp_path / "mesh"
+    oa.mkdir()
+    ob.mkdir()
+    kw = dict(
+        rrc_pan1=s["rrc_pan"], rrc_pan2=s["rrc_pan"],
+        rrc_mss_files=s["rrc_b"], slices=8, fold_cols=ov, stt_sections=2,
+        pixels_per_line=width, section_rows=256, mss2_file=s["ms2"],
+        rrc_mss2_files=s["rrc_b"],
+    )
+    o1 = run_scene_streamed(
+        s["p1"], s["p2"], s["ms"], out_dir=str(oa), **kw
+    )
+    o2 = run_scene_streamed(
+        s["p1"], s["p2"], s["ms"], out_dir=str(ob), mesh=8, **kw
+    )
+    for key in ("aligned", "stitched", "aligned2", "stitched_mss"):
+        a = tiff_io.read_tiff(o1[key])
+        b = tiff_io.read_tiff(o2[key])
+        np.testing.assert_array_equal(a, b, err_msg=key)
+    p1b = np.fromfile(o1["prestt"], "<u2")
+    p2b = np.fromfile(o2["prestt"], "<u2")
+    np.testing.assert_array_equal(p1b, p2b, err_msg="prestt")
