@@ -90,6 +90,16 @@ def _dft_consts(n: int, inverse: bool) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _dft_consts_packed(n: int, keep: int) -> np.ndarray:
+    """[cos | sin] of the forward n-point DFT matrix, truncated to ``keep``
+    output bins, packed column-wise into one (n, 2*keep) matrix so a REAL
+    input transforms in ONE matmul (one HBM read of the input instead of
+    two) on the transpose-free TPU path."""
+    c, s = _dft_consts(n, inverse=False)
+    return np.concatenate([c[:, :keep], s[:, :keep]], axis=1)
+
+
 @functools.lru_cache(maxsize=64)
 def _twiddle_consts(n1: int, n2: int, inverse: bool):
     """(cos, sin) twiddles W_N^{j2*k1} on the (k1=n1, j2=n2) grid."""
@@ -155,6 +165,11 @@ def _dft_last_axis(x_re, x_im, n: int, inverse: bool, keep: int | None = None):
     """
     n1, n2 = _factor(n)
     if n2 == 1:
+        if x_im is None and not inverse and _transpose_free():
+            k = keep if keep is not None and keep < n else n
+            cs = jnp.asarray(_dft_consts_packed(n, k))
+            out = _mm(x_re, cs)
+            return out[..., :k], out[..., k:]
         c, s = (jnp.asarray(v) for v in _dft_consts(n, inverse))
         if keep is not None and keep < n:
             c = c[:, :keep]
