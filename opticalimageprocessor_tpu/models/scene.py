@@ -170,6 +170,8 @@ def run_scene(
     raw_io.check_pan_mss_sizes(p1, ms)
     olog("Scene: PAN %d lines, MSS %d lines.", p1.lines, ms.lines)
 
+    if mesh < 0:
+        raise ValueError(f"mesh must be >= 0, got {mesh}")
     if mesh and len(jax.devices()) < mesh:
         raise RuntimeError(
             f"--mesh {mesh} needs {mesh} devices, only "

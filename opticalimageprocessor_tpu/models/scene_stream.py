@@ -584,6 +584,8 @@ def run_scene_streamed(
     section_rows = min(section_rows, max(chunk_rows, p1.lines))
     if section_rows % MSS_BANDS:
         raise ValueError("section_rows must be a multiple of 4")
+    if mesh < 0:
+        raise ValueError(f"mesh must be >= 0, got {mesh}")
     mesh_obj = None
     if mesh:
         if len(jax.devices()) < mesh:
@@ -681,10 +683,6 @@ def run_scene_streamed(
     # 1 DN flips when the same rows go through differently-shaped blocks)
     span = section_rows * (mesh or 1)
     n_secs = -(-p1.lines // span)
-
-    def row_mask(a, b, lines):
-        r = np.arange(a, b)
-        return jnp.asarray((r >= 0) & (r < lines))
 
     def stack_blocks(base, n, local, halo):
         """(rows, ...) halo'd window -> (n, local + 2*halo, ...) per-device

@@ -139,6 +139,9 @@ def _factor(n: int) -> tuple[int, int]:
 
 
 def _mm(a, b):
+    # stays jnp.dot (not an _emm einsum): _mm feeds the CPU-bitwise-gated
+    # windowed-peak path, and a dot->einsum relowering could shift f32
+    # bits on XLA:CPU (see _TRANSPOSE_FREE)
     dt = _STAGE_DTYPE
     if dt == jnp.float32:
         return jnp.dot(a, b, precision=_HIGHEST)
@@ -185,21 +188,13 @@ def _dft_last_axis(x_re, x_im, n: int, inverse: bool, keep: int | None = None):
 
     c1, s1 = (jnp.asarray(v) for v in _dft_consts(n1, inverse))
 
-    def _emm(m, a):
-        dt = _STAGE_DTYPE
-        if dt == jnp.float32:
-            return jnp.einsum("kj,...jn->...kn", m, a, precision=_HIGHEST)
-        return jnp.einsum(
-            "kj,...jn->...kn", m.astype(dt), a.astype(dt),
-            preferred_element_type=jnp.float32,
-        )
-
     # DFT over j1 (axis -2): contract with (n1, n1) matrix on the left
-    ar = _emm(c1, xr)
-    ai = _emm(s1, xr)
+    p1 = "kj,...jn->...kn"
+    ar = _emm(p1, c1, xr)
+    ai = _emm(p1, s1, xr)
     if xi is not None:
-        ar = ar - _emm(s1, xi)
-        ai = ai + _emm(c1, xi)
+        ar = ar - _emm(p1, s1, xi)
+        ai = ai + _emm(p1, c1, xi)
 
     tc, ts = (jnp.asarray(v) for v in _twiddle_consts(n1, n2, inverse))
     br = ar * tc - ai * ts
@@ -214,10 +209,9 @@ def _dft_last_axis(x_re, x_im, n: int, inverse: bool, keep: int | None = None):
     return xr2, xi2
 
 
-def _emm_left(m, a):
-    """einsum('kj,...j<rest>->...k<rest>') in the stage dtype: DFT matrix
-    applied on the left of an interior axis — the transpose-free form."""
-    pat = "kj,...jc->...kc"
+def _emm(pat: str, m, a):
+    """einsum in the stage dtype with float32 accumulation — the single
+    home of the precision/dtype policy for every DFT contraction."""
     dt = _STAGE_DTYPE
     if dt == jnp.float32:
         return jnp.einsum(pat, m, a, precision=_HIGHEST)
@@ -225,6 +219,12 @@ def _emm_left(m, a):
         pat, m.astype(dt), a.astype(dt),
         preferred_element_type=jnp.float32,
     )
+
+
+def _emm_left(m, a):
+    """DFT matrix applied on the left of an interior axis (the
+    transpose-free form)."""
+    return _emm("kj,...jc->...kc", m, a)
 
 
 def _dft_axis2(x_re, x_im, n: int, inverse: bool):
@@ -256,22 +256,13 @@ def _dft_axis2(x_re, x_im, n: int, inverse: bool):
 
     c1, s1 = (jnp.asarray(v) for v in _dft_consts(n1, inverse))
 
-    def emm(m, a, pat):
-        dt = _STAGE_DTYPE
-        if dt == jnp.float32:
-            return jnp.einsum(pat, m, a, precision=_HIGHEST)
-        return jnp.einsum(
-            pat, m.astype(dt), a.astype(dt),
-            preferred_element_type=jnp.float32,
-        )
-
     # step 1: DFT over j1 (axis -3)
     p1 = "kj,...jmc->...kmc"
-    ar = emm(c1, xr, p1)
-    ai = emm(s1, xr, p1)
+    ar = _emm(p1, c1, xr)
+    ai = _emm(p1, s1, xr)
     if xi is not None:
-        ar = ar - emm(s1, xi, p1)
-        ai = ai + emm(c1, xi, p1)
+        ar = ar - _emm(p1, s1, xi)
+        ai = ai + _emm(p1, c1, xi)
 
     # step 2: twiddle on the (k1, j2) grid, broadcast over c
     tc, ts = (jnp.asarray(v) for v in _twiddle_consts(n1, n2, inverse))
@@ -284,8 +275,8 @@ def _dft_axis2(x_re, x_im, n: int, inverse: bool):
     # einsum (k = k1 + n1*k2 -> row-major (k2, k1) flatten), no transpose
     c2, s2 = (jnp.asarray(v) for v in _dft_consts(n2, inverse))
     p2 = "lm,...kmc->...lkc"
-    re = emm(c2, br, p2) - emm(s2, bi, p2)
-    im = emm(c2, bi, p2) + emm(s2, br, p2)
+    re = _emm(p2, c2, br) - _emm(p2, s2, bi)
+    im = _emm(p2, c2, bi) + _emm(p2, s2, br)
     return (
         re.reshape(*batch, n, cdim),
         im.reshape(*batch, n, cdim),

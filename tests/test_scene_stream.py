@@ -123,3 +123,35 @@ def test_scene_streamed_mesh_matches_single_device(tmp_path, rng):
     p1b = np.fromfile(o1["prestt"], "<u2")
     p2b = np.fromfile(o2["prestt"], "<u2")
     np.testing.assert_array_equal(p1b, p2b, err_msg="prestt")
+
+
+def test_scene_streamed_mesh_multi_span(tmp_path, rng):
+    """Streamed-mesh loop coverage beyond one super-section: mesh=2 with
+    section_rows=192 on a 1024-line strip gives span 384 -> 2 full spans
+    plus a PARTIAL final span (valid 256 of 384, devices partly padding)
+    — the `a = k * span` windows, the per-device stack seams, and the
+    merge()[:valid] trims must still be byte-identical to the unsharded
+    stream at the same section_rows."""
+    from opticalimageprocessor_tpu.models.scene_stream import (
+        run_scene_streamed,
+    )
+
+    width, ov = 640, 32
+    s = _make_scene(tmp_path, rng, lines_pan=1024, width=width, ov=ov)
+    oa = tmp_path / "one"
+    ob = tmp_path / "mesh"
+    oa.mkdir()
+    ob.mkdir()
+    kw = dict(
+        rrc_pan1=s["rrc_pan"], rrc_pan2=s["rrc_pan"],
+        rrc_mss_files=s["rrc_b"], slices=8, fold_cols=ov, stt_sections=2,
+        pixels_per_line=width, section_rows=192,
+    )
+    o1 = run_scene_streamed(s["p1"], s["p2"], s["ms"], out_dir=str(oa), **kw)
+    o2 = run_scene_streamed(
+        s["p1"], s["p2"], s["ms"], out_dir=str(ob), mesh=2, **kw
+    )
+    for key in ("aligned", "stitched"):
+        a = tiff_io.read_tiff(o1[key])
+        b = tiff_io.read_tiff(o2[key])
+        np.testing.assert_array_equal(a, b, err_msg=key)

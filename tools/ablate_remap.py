@@ -20,39 +20,17 @@ from __future__ import annotations
 
 import argparse
 import os
-import time
+import sys
 
 import numpy as np
 
-if os.environ.get("OIP_JAX_PLATFORM"):
-    # the axon plugin ignores JAX_PLATFORMS; the config knob wins (cli.py)
-    import jax
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from common import ensure_platform, timeit  # noqa: E402
 
-    jax.config.update("jax_platforms", os.environ["OIP_JAX_PLATFORM"])
-
-
-def timeit(fn, args, n=5):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
-    first = out[0] if isinstance(out, (tuple, list)) else out
-    _ = np.asarray(first.reshape(-1)[0])
-    ts = []
-    for i in range(n):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        first = out[0] if isinstance(out, (tuple, list)) else out
-        _ = np.asarray(first.reshape(-1)[i % 3])
-        ts.append(time.perf_counter() - t0)
-    return min(ts) * 1e3, float(np.median(ts)) * 1e3
+ensure_platform()
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--lines", type=int, default=32768)
-    ap.add_argument("--n", type=int, default=5)
-    args = ap.parse_args()
+def main(args):
 
     import jax
     import jax.numpy as jnp
@@ -155,7 +133,7 @@ def main():
         print(f"stitch: chunk={chunk} min={mn:.1f} med={md:.1f} ms")
 
 
-def register_scaling(lines=32768, n=5):
+def register_scaling(lines, n):
     """Attribute the register stage: does time scale linearly with the
     tile count (compute-bound) or sublinearly (fixed overhead), and how
     much is the lone PAN-tile rfft2?"""
@@ -207,9 +185,15 @@ def register_scaling(lines=32768, n=5):
 
 
 if __name__ == "__main__":
-    import sys
-
-    if "--register" in sys.argv:
-        register_scaling()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lines", type=int, default=32768)
+    ap.add_argument("--n", type=int, default=5)
+    ap.add_argument(
+        "--register", action="store_true",
+        help="register-stage scaling probes instead of the remap sweeps",
+    )
+    a = ap.parse_args()
+    if a.register:
+        register_scaling(a.lines, a.n)
     else:
-        main()
+        main(a)

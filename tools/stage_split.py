@@ -12,32 +12,14 @@ from __future__ import annotations
 
 import argparse
 import os
-import time
+import sys
 
 import numpy as np
 
-if os.environ.get("OIP_JAX_PLATFORM"):
-    # the axon plugin ignores JAX_PLATFORMS; the config knob wins (cli.py)
-    import jax
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from common import ensure_platform, timeit  # noqa: E402
 
-    jax.config.update("jax_platforms", os.environ["OIP_JAX_PLATFORM"])
-
-
-def timeit(fn, args, n=5):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
-    leaves = jax.tree.leaves(out)
-    _ = np.asarray(leaves[0].reshape(-1)[0])
-    ts = []
-    for i in range(n):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        leaves = jax.tree.leaves(out)
-        _ = np.asarray(leaves[0].reshape(-1)[i % 3])
-        ts.append(time.perf_counter() - t0)
-    return min(ts) * 1e3, float(np.median(ts)) * 1e3
+ensure_platform()
 
 
 def main():
