@@ -298,6 +298,14 @@ def _scene(argv) -> int:
         "--stream-section-lines", type=int, default=4096,
         help="PAN lines per streamed section (with --stream)",
     )
+    p.add_argument(
+        "--profile", default="", metavar="DIR",
+        help=(
+            "write a JAX device profile (TensorBoard trace) of the run to "
+            "DIR — device-level observability on top of the per-stage "
+            "MB/s report (note: unavailable through hosted TPU tunnels)"
+        ),
+    )
     a = p.parse_args(argv)
     if a.fold_cols < 2:
         raise UsageError("fold column value too small")
@@ -328,6 +336,7 @@ def _scene(argv) -> int:
         stt_max_delta_y=a.stt_maxdeltay,
         out_stitched=a.out, out_stitched_mss=a.out_mss, out_dir=a.out_dir,
     )
+    common["profile_dir"] = a.profile
     if a.stream:
         from .models.scene_stream import run_scene_streamed
 

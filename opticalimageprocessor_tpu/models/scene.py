@@ -108,7 +108,17 @@ def _row_blocks(arr, total_rows: int | None = None):
         yield np.asarray(arr)[:total_rows]
 
 
-def run_scene(
+def run_scene(*args, profile_dir: str = "", **kw):
+    """Run the fused scene pipeline (see :func:`_run_scene`); with
+    ``profile_dir`` the whole run is wrapped in a JAX device profile
+    (utils.logging.device_profile)."""
+    from ..utils.logging import device_profile
+
+    with device_profile(profile_dir):
+        return _run_scene(*args, **kw)
+
+
+def _run_scene(
     pan1_file: str,
     pan2_file: str,
     mss_file: str,

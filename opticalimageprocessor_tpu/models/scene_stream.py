@@ -515,7 +515,17 @@ def _estimate_stt(
 # streamed driver
 # ---------------------------------------------------------------------------
 
-def run_scene_streamed(
+def run_scene_streamed(*args, profile_dir: str = "", **kw):
+    """Run the streamed scene pipeline (see :func:`_run_scene_streamed`);
+    with ``profile_dir`` the whole run is wrapped in a JAX device profile
+    (utils.logging.device_profile)."""
+    from ..utils.logging import device_profile
+
+    with device_profile(profile_dir):
+        return _run_scene_streamed(*args, **kw)
+
+
+def _run_scene_streamed(
     pan1_file: str,
     pan2_file: str,
     mss_file: str,

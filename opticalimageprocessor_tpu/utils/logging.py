@@ -172,3 +172,17 @@ def trace_annotation(name: str):
                 cm.__exit__(None, None, None)
             except Exception:
                 pass  # profiler teardown must never mask the body's result
+
+
+def device_profile(trace_dir: str):
+    """Context manager writing a JAX device profile (TensorBoard trace) to
+    ``trace_dir``; a no-op when ``trace_dir`` is empty.  Device-level
+    observability on top of the per-stage MB/s report (the reference only
+    has the latter, SURVEY §5 tracing).  Note: profiling is unavailable
+    through hosted TPU tunnels — use on local TPU/CPU hosts."""
+    if not trace_dir:
+        return contextlib.nullcontext()
+    import jax
+
+    olog("Profiling device execution to %s", trace_dir)
+    return jax.profiler.trace(trace_dir)

@@ -125,6 +125,37 @@ def test_scene_streamed_mesh_matches_single_device(tmp_path, rng):
     np.testing.assert_array_equal(p1b, p2b, err_msg="prestt")
 
 
+def test_scene_profile_dir(tmp_path, rng):
+    """`scene --profile DIR` (run_scene_streamed's profile_dir) wraps the
+    run in a JAX profiler trace and leaves a TensorBoard trace directory
+    behind (device observability on top of the reference's MB/s logs)."""
+    import os
+
+    from opticalimageprocessor_tpu.models.scene_stream import (
+        run_scene_streamed,
+    )
+
+    width, ov = 640, 32
+    s = _make_scene(tmp_path, rng, lines_pan=1024, width=width, ov=ov)
+    out = tmp_path / "out"
+    prof = tmp_path / "trace"
+    out.mkdir()
+    o = run_scene_streamed(
+        s["p1"], s["p2"], s["ms"],
+        rrc_pan1=s["rrc_pan"], rrc_pan2=s["rrc_pan"],
+        rrc_mss_files=s["rrc_b"], slices=8, fold_cols=ov, stt_sections=2,
+        pixels_per_line=width, section_rows=512, out_dir=str(out),
+        profile_dir=str(prof),
+    )
+    assert os.path.exists(o["aligned"])
+    traced = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(prof)
+        for f in fs
+    ]
+    assert traced, "profiler trace directory is empty"
+
+
 def test_scene_streamed_mesh_multi_span(tmp_path, rng):
     """Streamed-mesh loop coverage beyond one super-section: mesh=2 with
     section_rows=192 on a 1024-line strip gives span 384 -> 2 full spans
