@@ -83,6 +83,13 @@ def _build_default_parser() -> argparse.ArgumentParser:
             "(0 = single device; fast-mode remap semantics)"
         ),
     )
+    p.add_argument(
+        "--profile", default="", metavar="DIR",
+        help=(
+            "write a JAX device profile (TensorBoard trace) of the run to "
+            "DIR (unavailable through hosted TPU tunnels)"
+        ),
+    )
     return p
 
 
@@ -120,36 +127,41 @@ def _default_action(a) -> int:
     for i, f in enumerate(rrc_mss, 1):
         _require_file(f, f"--rrc-msb{i}")
 
-    if a.mesh:
-        from .models.sharded_align import run_sharded_align
+    from .utils.logging import device_profile
 
-        run_sharded_align(
-            a.pan, a.mss, a.rrc_pan, rrc_mss, n_devices=a.mesh,
-            do_rrc_pan=a.do_rrc4pan, do_rrc_mss=a.do_rrc4mss,
-            slices=a.slices, sections=a.ibc_sections,
-            threshold=a.ibc_threshold, line_offset=a.line_offset,
-            section_overlap=a.overlap_lines,
-            keep_leading_lines=a.keep_leading, out_dir=a.out_dir,
+    with device_profile(a.profile):
+        if a.mesh:
+            from .models.sharded_align import run_sharded_align
+
+            run_sharded_align(
+                a.pan, a.mss, a.rrc_pan, rrc_mss, n_devices=a.mesh,
+                do_rrc_pan=a.do_rrc4pan, do_rrc_mss=a.do_rrc4mss,
+                slices=a.slices, sections=a.ibc_sections,
+                threshold=a.ibc_threshold, line_offset=a.line_offset,
+                section_overlap=a.overlap_lines,
+                keep_leading_lines=a.keep_leading, out_dir=a.out_dir,
+                quantized_coords=a.coord_mode == "quantized",
+                write_rrcpan=a.do_rrc4pan and a.write_rrcpan,
+            )
+            return 0
+
+        from .models.preprocessor import PreProcessor
+
+        pp = PreProcessor(
+            a.pan, a.mss, a.rrc_pan, rrc_mss, out_dir=a.out_dir,
             quantized_coords=a.coord_mode == "quantized",
-            write_rrcpan=a.do_rrc4pan and a.write_rrcpan,
+            fast=a.fast,
+        )
+        pp.load_and_rrc(do_rrc_pan=a.do_rrc4pan, do_rrc_mss=a.do_rrc4mss)
+        if a.do_rrc4pan and a.write_rrcpan:
+            pp.write_rrc_pan_tiff(a.line_offset)
+        pp.calc_inter_band_correlation(
+            a.slices, a.ibc_sections, a.ibc_threshold
+        )
+        pp.do_inter_band_alignment(
+            a.lines_section, a.line_offset, a.overlap_lines, a.keep_leading
         )
         return 0
-
-    from .models.preprocessor import PreProcessor
-
-    pp = PreProcessor(
-        a.pan, a.mss, a.rrc_pan, rrc_mss, out_dir=a.out_dir,
-        quantized_coords=a.coord_mode == "quantized",
-        fast=a.fast,
-    )
-    pp.load_and_rrc(do_rrc_pan=a.do_rrc4pan, do_rrc_mss=a.do_rrc4mss)
-    if a.do_rrc4pan and a.write_rrcpan:
-        pp.write_rrc_pan_tiff(a.line_offset)
-    pp.calc_inter_band_correlation(a.slices, a.ibc_sections, a.ibc_threshold)
-    pp.do_inter_band_alignment(
-        a.lines_section, a.line_offset, a.overlap_lines, a.keep_leading
-    )
-    return 0
 
 
 def _auxsep(argv) -> int:
@@ -201,6 +213,13 @@ def _prestitch(argv) -> int:
             "(0 = single device; fast-mode remap semantics)"
         ),
     )
+    p.add_argument(
+        "--profile", default="", metavar="DIR",
+        help=(
+            "write a JAX device profile (TensorBoard trace) of the run to "
+            "DIR (unavailable through hosted TPU tunnels)"
+        ),
+    )
     a = p.parse_args(argv)
     if a.edge_cols < 0 or a.edge_cols > a.stitch_overlap // 2:
         raise UsageError("invalid edge cols")
@@ -209,33 +228,36 @@ def _prestitch(argv) -> int:
     _require_file(a.rrc1, "--rrc1")
     _require_file(a.rrc2, "--rrc2")
 
-    if a.mesh:
-        from .models.sharded_prestitch import run_sharded_prestitch
+    from .utils.logging import device_profile
 
-        run_sharded_prestitch(
-            a.pan1, a.pan2, a.rrc1, a.rrc2, n_devices=a.mesh,
-            sections=a.sections, line_per_section=a.section_lines,
-            overlap_cols=a.stitch_overlap, threshold=a.stt_threshold,
-            max_delta_y=a.stt_maxdeltay, edge_cols=a.edge_cols,
-            do_rrc=a.do_rrc, only_calculate=a.only_calculate,
-            out_dir=a.out_dir,
+    with device_profile(a.profile):
+        if a.mesh:
+            from .models.sharded_prestitch import run_sharded_prestitch
+
+            run_sharded_prestitch(
+                a.pan1, a.pan2, a.rrc1, a.rrc2, n_devices=a.mesh,
+                sections=a.sections, line_per_section=a.section_lines,
+                overlap_cols=a.stitch_overlap, threshold=a.stt_threshold,
+                max_delta_y=a.stt_maxdeltay, edge_cols=a.edge_cols,
+                do_rrc=a.do_rrc, only_calculate=a.only_calculate,
+                out_dir=a.out_dir,
+            )
+            return 0
+
+        from .models.stitcher import Stitcher
+
+        st = Stitcher(
+            a.pan1, a.pan2, a.rrc1, a.rrc2, a.sections, a.section_lines,
+            a.stitch_overlap, out_dir=a.out_dir,
+            quantized_coords=a.coord_mode == "quantized",
+            fast=a.fast,
         )
+        st.calc_stt_parameters(a.stt_threshold, a.stt_maxdeltay, a.edge_cols)
+        if not a.only_calculate:
+            if a.do_rrc:
+                st.do_rrc()
+            st.pre_stitch()
         return 0
-
-    from .models.stitcher import Stitcher
-
-    st = Stitcher(
-        a.pan1, a.pan2, a.rrc1, a.rrc2, a.sections, a.section_lines,
-        a.stitch_overlap, out_dir=a.out_dir,
-        quantized_coords=a.coord_mode == "quantized",
-        fast=a.fast,
-    )
-    st.calc_stt_parameters(a.stt_threshold, a.stt_maxdeltay, a.edge_cols)
-    if not a.only_calculate:
-        if a.do_rrc:
-            st.do_rrc()
-        st.pre_stitch()
-    return 0
 
 
 def _scene(argv) -> int:
