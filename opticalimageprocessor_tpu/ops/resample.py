@@ -580,7 +580,13 @@ def remap_band_fast(
     colg = _col_interp_apply(src.astype(f32), col_matrix)
     halo_top = row_bound + 1
     padded = jnp.pad(colg, ((halo_top, row_bound + 2), (0, 0)))
-    acc = _fast_row_pass(padded, g, rows, width, row_bound, halo_top)
+    if _ROW_PASS_PALLAS:
+        acc = _fast_row_pass_pallas(
+            padded, _row_pass_coeffs(g, width, row_bound), rows, row_bound,
+            interpret=_ROW_PASS_INTERPRET,
+        )
+    else:
+        acc = _fast_row_pass(padded, g, rows, width, row_bound, halo_top)
     return jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
 
 
@@ -608,6 +614,106 @@ def _fast_row_pass(
             padded, halo_top + u, rows, axis=0
         )
         acc = acc + rows_u * cu[None, :]
+    return acc
+
+
+def _row_pass_coeffs(g: jax.Array, width: int, row_bound: int) -> jax.Array:
+    """Per-column vertical MAC weights as one (U, W) stack, U = 2*rb + 4:
+    cu[v, x] = sum_a wys[a, x] * [floor(G[x]) + a - 1 == v - rb - 1]."""
+    f32 = jnp.float32
+    iy0 = jnp.floor(g).astype(jnp.int32)
+    fy = g - iy0.astype(f32)
+    wys = _cubic_weights_f32(fy)
+    rows = []
+    for u in range(-row_bound - 1, row_bound + 3):
+        cu = jnp.zeros((width,), f32)
+        for a in range(4):
+            cu = cu + jnp.where(iy0 + a - 1 == u, wys[a], f32(0))
+        rows.append(cu)
+    return jnp.stack(rows)
+
+
+# Opt-in Pallas vertical pass (False = XLA masked MACs, the measured
+# default; flip with set_row_pass_pallas for A/B on real hardware).
+_ROW_PASS_PALLAS: bool = False
+_ROW_PASS_INTERPRET: bool = False
+
+
+def set_row_pass_pallas(v: bool, interpret: bool = False) -> None:
+    """Route the band remap's vertical cubic through the Pallas
+    tile-resident kernel (:func:`_fast_row_pass_pallas`) instead of the
+    XLA masked-MAC passes (``interpret`` = run it in Pallas interpret
+    mode, for CPU parity tests)."""
+    global _ROW_PASS_PALLAS, _ROW_PASS_INTERPRET
+    _ROW_PASS_PALLAS = v
+    _ROW_PASS_INTERPRET = interpret
+
+
+def _fast_row_pass_pallas(
+    padded: jax.Array,
+    cu: jax.Array,
+    rows: int,
+    row_bound: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Vertical per-column MACs as ONE Pallas kernel.
+
+    ``padded``: (rows + U - 1, W) f32 column-interpolated buffer (U - 1
+    halo rows split rb+1 top / rb+2 bottom, matching
+    :func:`_fast_row_pass`'s layout); ``cu``: (U, W) weights from
+    :func:`_row_pass_coeffs`.  out[y, x] = sum_v cu[v, x] *
+    padded[y + v, x].  Each (TR, TC) output tile reads two stacked input
+    tiles + its weight block from VMEM and writes once — HBM traffic is
+    ~2 reads + 1 write of the buffer, vs up to U shifted reads if XLA
+    fails to fuse the MAC chain.  Opt-in pending an on-chip A/B
+    (docs/PERF.md).
+    """
+    from jax.experimental import pallas as pl
+
+    f32 = jnp.float32
+    U = 2 * row_bound + 4
+    total, width = padded.shape
+    assert total == rows + U - 1, (total, rows, U)
+    # one column stripe per grid step, all rows VMEM-resident: the buffer
+    # is read ONCE and the output written once (chunked callers keep
+    # rows <= ~4K, so a stripe is ~2 x 8 MB f32 at TC=512 worst case)
+    if width % 128 or (total + rows) * 512 * 4 > 12 << 20:
+        # exotic widths / unchunked-huge rows: XLA path handles them
+        return _fast_row_pass_from_cu(padded, cu, rows)
+    TC = width if width <= 512 else next(
+        c for c in (512, 256, 128) if width % c == 0
+    )
+
+    def kernel(p, w, out):
+        acc = jnp.zeros((rows, TC), f32)
+        for v in range(U):
+            acc = acc + p[v : v + rows] * w[v][None, :]
+        out[...] = acc
+
+    return pl.pallas_call(
+        kernel,
+        grid=(width // TC,),
+        in_specs=[
+            pl.BlockSpec((total, TC), lambda j: (0, j)),
+            pl.BlockSpec((U, TC), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((rows, TC), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((rows, width), f32),
+        interpret=interpret,
+    )(padded, cu)
+
+
+def _fast_row_pass_from_cu(
+    padded: jax.Array, cu: jax.Array, rows: int
+) -> jax.Array:
+    """XLA fallback of the (U, W)-weights vertical pass (same contract as
+    :func:`_fast_row_pass_pallas`)."""
+    U = cu.shape[0]
+    acc = jnp.zeros((rows, padded.shape[1]), jnp.float32)
+    for v in range(U):
+        acc = acc + jax.lax.dynamic_slice_in_dim(
+            padded, v, rows, 0
+        ) * cu[v][None, :]
     return acc
 
 

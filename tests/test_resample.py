@@ -99,6 +99,45 @@ def test_remap_constant_shift_matches_oracle(dx, dy, rng):
     assert (diff > 0).mean() < 0.02, f"count {(diff>0).sum()}"
 
 
+def test_row_pass_pallas_matches_xla(rng):
+    """The opt-in Pallas vertical-MAC kernel (tile-resident row pass,
+    docs/PERF.md A/B queue) is bit-identical to the XLA masked-MAC path
+    through the full fast band remap, including per-column iy0 variation
+    and chunk/halo handling (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from opticalimageprocessor_tpu.ops import resample
+
+    src = jnp.asarray(rng.integers(0, 65536, (512, 256), dtype=np.uint16))
+    # strong quadratic: floor(G) varies across columns within the tile
+    cx = jnp.asarray([1.5, -2.0e-4], jnp.float32)
+    cy = jnp.asarray([-2.2, 8.0e-3, -1.5e-5], jnp.float32)
+    want = np.asarray(
+        resample.remap_band_fast_chunked(
+            src, cx, cy, chunk_rows=128, row_bound=4,
+        )
+    )
+    try:
+        resample.set_row_pass_pallas(True, interpret=True)
+        got = np.asarray(
+            resample.remap_band_fast_chunked(
+                src, cx, cy, chunk_rows=128, row_bound=4,
+            )
+        )
+    finally:
+        resample.set_row_pass_pallas(False)
+    np.testing.assert_array_equal(got, want)
+    # direct kernel-vs-fallback check on the raw f32 contract too
+    g = resample._band_g(cy, 256)
+    cu = resample._row_pass_coeffs(g, 256, 4)
+    padded = jnp.asarray(rng.random((200 + cu.shape[0] - 1, 256), np.float32))
+    a = np.asarray(
+        resample._fast_row_pass_pallas(padded, cu, 200, 4, interpret=True)
+    )
+    b = np.asarray(resample._fast_row_pass_from_cu(padded, cu, 200))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
 def test_remap_const_fast_matches_generic(rng):
     """The constant-shift fast remap (traced-scalar dx/dy, 4 direct row
     taps) equals the generic polynomial fast path on the same translation."""
