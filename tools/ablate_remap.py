@@ -83,6 +83,27 @@ def main(args):
             print(f"band x4: row_bound={rb} chunk={chunk} "
                   f"min={mn:.1f} med={md:.1f} ms")
 
+    # -- band remap with the opt-in Pallas vertical pass (TPU only) -------
+    if jax.default_backend() != "tpu":
+        print("band x4 PALLAS-rowpass: skipped (needs TPU)")
+    else:
+        try:
+            resample.set_row_pass_pallas(True)
+            for chunk in (512, 2048):
+                f = jax.jit(lambda m, cx=cx, cy=cy, chunk=chunk: jnp.stack(
+                    [
+                        resample.remap_band_fast_chunked(
+                            m[i], cx, cy, chunk_rows=chunk, row_bound=3,
+                            col_block=128, col_halo=16,
+                        )
+                        for i in range(MSS_BANDS)
+                    ], axis=-1))
+                mn, md = timeit(f, (mss4,), args.n)
+                print(f"band x4 PALLAS-rowpass: chunk={chunk} "
+                      f"min={mn:.1f} med={md:.1f} ms")
+        finally:
+            resample.set_row_pass_pallas(False)
+
     # -- column matmul only (one band) ------------------------------------
     cm = resample._col_interp_matrix(cx, PIXELS_PER_MSSBAND, 128, 16)
     ck = min(512, lines_mss)
