@@ -156,6 +156,27 @@ def test_scene_profile_dir(tmp_path, rng):
     assert traced, "profiler trace directory is empty"
 
 
+def test_scene_negative_mesh_rejected(tmp_path, rng):
+    """A negative mesh fails up front with a clear error (it used to slip
+    past the device-count check and die mid-transform after the whole
+    estimation phase)."""
+    import pytest
+
+    from opticalimageprocessor_tpu.models.scene import run_scene
+    from opticalimageprocessor_tpu.models.scene_stream import (
+        run_scene_streamed,
+    )
+
+    s = _make_scene(tmp_path, rng, lines_pan=256, width=640, ov=32)
+    for fn in (run_scene, run_scene_streamed):
+        with pytest.raises(ValueError, match="mesh must be >= 0"):
+            fn(
+                s["p1"], s["p2"], s["ms"], rrc_pan1=s["rrc_pan"],
+                rrc_pan2=s["rrc_pan"], rrc_mss_files=s["rrc_b"],
+                pixels_per_line=640, mesh=-2,
+            )
+
+
 def test_scene_streamed_mesh_multi_span(tmp_path, rng):
     """Streamed-mesh loop coverage beyond one super-section: mesh=2 with
     section_rows=192 on a 1024-line strip gives span 384 -> 2 full spans
