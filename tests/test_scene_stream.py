@@ -156,6 +156,24 @@ def test_scene_profile_dir(tmp_path, rng):
     assert traced, "profiler trace directory is empty"
 
 
+def test_scene_streamed_section_rows_validation(tmp_path, rng):
+    """section_rows must hold whole MSS lines (multiple of 4) — loud
+    ValueError, not a silent geometry corruption."""
+    import pytest
+
+    from opticalimageprocessor_tpu.models.scene_stream import (
+        run_scene_streamed,
+    )
+
+    s = _make_scene(tmp_path, rng, lines_pan=256, width=640, ov=32)
+    with pytest.raises(ValueError, match="multiple of 4"):
+        run_scene_streamed(
+            s["p1"], s["p2"], s["ms"], rrc_pan1=s["rrc_pan"],
+            rrc_pan2=s["rrc_pan"], rrc_mss_files=s["rrc_b"],
+            pixels_per_line=640, section_rows=130,
+        )
+
+
 def test_scene_negative_mesh_rejected(tmp_path, rng):
     """A negative mesh fails up front with a clear error (it used to slip
     past the device-count check and die mid-transform after the whole
