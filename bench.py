@@ -20,17 +20,139 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
+def _emit(value, error: str | None = None) -> None:
+    """The ONE JSON line the driver parses."""
+    out = {
+        "metric": "e2e RRC+register+resample+stitch throughput",
+        "value": value,
+        "unit": "Gpix/s/chip",
+        "vs_baseline": round(value / 2.0, 3) if value is not None else None,
+    }
+    if error:
+        out["error"] = error
+    print(json.dumps(out), flush=True)
+
+
+def _probe_tpu(timeout_s: float) -> bool:
+    """Ask a throwaway subprocess whether the TPU backend comes up.
+
+    With the hosted tunnel down, backend init hangs forever — probing
+    in-process would wedge the bench (the round-3 rc=1/rc=124 failure
+    mode), so the hang is sacrificed to a killable child instead.
+    """
+    code = (
+        "import jax, sys; "
+        "sys.exit(0 if any(d.platform == 'tpu' for d in jax.devices())"
+        " else 3)"
+    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+    return res.returncode == 0
+
+
 def main() -> None:
-    import jax
+    """Outage-proof front door.
+
+    This parent process NEVER imports jax (with the hosted tunnel down or
+    flapping, backend init and even mid-run transfers can hang at the C
+    level, where no Python signal handler runs).  All device work happens
+    in a killable child process under a hard wall-clock deadline; on any
+    infrastructure failure the parent still prints the ONE parseable JSON
+    line the driver expects.
+    """
+    if os.environ.get("OIP_BENCH_CHILD") == "1":
+        try:
+            run_bench(
+                os.environ.get("OIP_JAX_PLATFORM")
+                or os.environ.get("JAX_PLATFORMS")
+            )
+        except Exception as exc:  # parseable output even on a real bug
+            import traceback
+
+            traceback.print_exc()
+            _emit(None, error=f"{type(exc).__name__}: {exc}"[:300])
+            raise SystemExit(1)
+        return
 
     plat = os.environ.get("OIP_JAX_PLATFORM") or os.environ.get(
         "JAX_PLATFORMS"
     )
+    deadline = float(os.environ.get("OIP_BENCH_DEADLINE", 2400))
+    t_start = time.monotonic()
+    if not plat or "tpu" in plat:
+        # intending the TPU backend: verify it actually comes up before
+        # spending the deadline on a run.  The tunnel flaps, so retry.
+        retries = int(os.environ.get("OIP_BENCH_PROBE_RETRIES", 3))
+        probe_timeout = float(os.environ.get("OIP_BENCH_PROBE_TIMEOUT", 120))
+        delay = float(os.environ.get("OIP_BENCH_PROBE_DELAY", 30))
+        up = False
+        for attempt in range(retries):
+            if _probe_tpu(probe_timeout):
+                up = True
+                break
+            print(
+                f"TPU probe {attempt + 1}/{retries} failed", file=sys.stderr
+            )
+            if attempt + 1 < retries:
+                time.sleep(delay)
+        if not up:
+            _emit(None, error="tpu_unavailable")
+            return
+
+    env = dict(os.environ)
+    env["OIP_BENCH_CHILD"] = "1"
+    attempts = int(os.environ.get("OIP_BENCH_RUN_ATTEMPTS", 2))
+    last_out, last_rc = "", 0
+    for attempt in range(attempts):
+        budget = deadline - (time.monotonic() - t_start)
+        if budget <= 60:
+            _emit(None, error="deadline_exceeded")
+            return
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                timeout=budget,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            _emit(None, error="deadline_exceeded")
+            return
+        last_out, last_rc = res.stdout, res.returncode
+        if res.returncode == 0:
+            break
+        print(
+            f"bench child attempt {attempt + 1}/{attempts} rc="
+            f"{res.returncode}",
+            file=sys.stderr,
+        )
+    # forward the child's stdout (its only stdout is the JSON line;
+    # diagnostics go to the shared stderr)
+    if last_out.strip():
+        sys.stdout.write(last_out)
+        sys.stdout.flush()
+    else:
+        _emit(None, error=f"bench_child_rc_{last_rc}")
+
+
+def run_bench(plat: str | None) -> None:
+    import jax
+
     if plat:
         # hosted TPU plugins ignore the JAX_PLATFORMS env var; the config
         # knob wins (cli.py does the same) — without this the CPU smoke
@@ -188,16 +310,7 @@ def main() -> None:
         + MSS_BANDS * lines_mss * PIXELS_PER_MSSBAND  # MSS
     )
     gpix = px / dt / 1e9
-    print(
-        json.dumps(
-            {
-                "metric": "e2e RRC+register+resample+stitch throughput",
-                "value": round(gpix, 3),
-                "unit": "Gpix/s/chip",
-                "vs_baseline": round(gpix / 2.0, 3),
-            }
-        )
-    )
+    _emit(round(gpix, 3))
 
 
 if __name__ == "__main__":

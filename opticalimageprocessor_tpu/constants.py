@@ -3,7 +3,7 @@
 These mirror the compile-time knobs of the reference implementation
 (`/root/reference/OpticalImageProcessor/oipshared.h:27-64`) so that default
 behaviour is interchangeable.  Every algorithm default below is overridable
-through :class:`opticalimageprocessor_tpu.models.config` dataclasses / the CLI.
+through the CLI flags (``cli.py``) and the model constructors' keyword args.
 """
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,13 @@ class RawStrip:
 
     def section(self, line_offset: int, lines: int) -> np.ndarray:
         """Zero-copy (lines, pixels_per_line) view."""
+        if line_offset < 0 or lines < 0:
+            # negative offsets would silently wrap via numpy indexing and
+            # return data from the strip END — corruption, not a view
+            raise ValueError(
+                f"negative section request: offset={line_offset}, "
+                f"lines={lines} ({self.path})"
+            )
         end = min(line_offset + lines, self.lines)
         return self._mm[line_offset:end]
 

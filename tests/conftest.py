@@ -24,8 +24,27 @@ import jax  # noqa: E402
 # knob is authoritative.  Tests always run on an 8-device virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+import faulthandler  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Per-test hang watchdog (pytest-timeout is not in this image).  A hung
+# device call blocks the main thread at the C level, where neither pytest
+# nor signal handlers can interrupt; faulthandler's watchdog THREAD still
+# fires — it dumps every stack and hard-exits, failing CI fast instead of
+# stalling it.  Generous default: the 1-core CI host legitimately spends
+# minutes in single tests during sporadic slow phases.
+_TEST_TIMEOUT = float(os.environ.get("OIP_TEST_TIMEOUT", 900))
+
+
+@pytest.fixture(autouse=True)
+def _hang_watchdog():
+    if _TEST_TIMEOUT > 0:
+        faulthandler.dump_traceback_later(_TEST_TIMEOUT, exit=True)
+    yield
+    if _TEST_TIMEOUT > 0:
+        faulthandler.cancel_dump_traceback_later()
 
 
 @pytest.fixture

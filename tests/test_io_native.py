@@ -165,6 +165,11 @@ def test_raw_strip_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(strip.section(10, 20), img[10:30])
     # section beyond EOF clips
     assert strip.section(60, 20).shape[0] == 4
+    # negative offsets must hard-error, not wrap to the strip end
+    with pytest.raises(ValueError):
+        strip.section(-1, 20)
+    with pytest.raises(ValueError):
+        strip.section(0, -5)
     with pytest.raises(ValueError):
         raw_io.RawStrip(p, 100)  # not a whole number of lines
 
