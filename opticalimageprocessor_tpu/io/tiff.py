@@ -36,11 +36,18 @@ T_ROWSPERSTRIP = 278
 T_STRIPBYTECOUNTS = 279
 T_PLANARCONFIG = 284
 T_PREDICTOR = 317
+T_TILEWIDTH = 322
+T_TILELENGTH = 323
+T_TILEOFFSETS = 324
+T_TILEBYTECOUNTS = 325
 T_SAMPLEFORMAT = 339
 T_EXTRASAMPLES = 338
 
 COMPRESSION_NONE = 1
 COMPRESSION_LZW = 5
+COMPRESSION_DEFLATE = 8           # zlib ("new-style" deflate)
+COMPRESSION_ADOBE_DEFLATE = 32946  # zlib (legacy codepoint, same stream)
+COMPRESSION_PACKBITS = 32773
 
 
 def _predict2_encode(strip: np.ndarray) -> np.ndarray:
@@ -64,6 +71,9 @@ class TiffInfo:
     bigtiff: bool
     little_endian: bool
     extrasamples: tuple[int, ...] = ()
+    planar: int = 1                # PlanarConfiguration: 1 chunky, 2 planar
+    tile_width: int = 0            # nonzero => tiled layout
+    tile_length: int = 0
 
 
 class TiffStripWriter:
@@ -322,6 +332,16 @@ def read_tiff_info(path: str) -> TiffInfo:
         for tag, typ, count, value in entries:
             tags[tag] = _tag_values(f, typ, count, value, big, le)
         h = int(tags[T_IMAGELENGTH][0])
+        tiled = T_TILEOFFSETS in tags
+        if tiled:
+            # tiled layout: the offsets/counts arrays hold TILES (row-major,
+            # planes sequential when planar=2); tile_width nonzero signals
+            # the interpretation
+            offsets = np.asarray(tags[T_TILEOFFSETS], np.int64)
+            counts = np.asarray(tags[T_TILEBYTECOUNTS], np.int64)
+        else:
+            offsets = np.asarray(tags[T_STRIPOFFSETS], np.int64)
+            counts = np.asarray(tags[T_STRIPBYTECOUNTS], np.int64)
         return TiffInfo(
             width=int(tags[T_IMAGEWIDTH][0]),
             height=h,
@@ -330,53 +350,180 @@ def read_tiff_info(path: str) -> TiffInfo:
             compression=int(tags.get(T_COMPRESSION, [1])[0]),
             predictor=int(tags.get(T_PREDICTOR, [1])[0]),
             rows_per_strip=int(tags.get(T_ROWSPERSTRIP, [h])[0]),
-            strip_offsets=np.asarray(tags[T_STRIPOFFSETS], np.int64),
-            strip_counts=np.asarray(tags[T_STRIPBYTECOUNTS], np.int64),
+            strip_offsets=offsets,
+            strip_counts=counts,
             bigtiff=big,
             little_endian=le,
             extrasamples=tuple(
                 int(v) for v in tags.get(T_EXTRASAMPLES, [])
             ),
+            planar=int(tags.get(T_PLANARCONFIG, [1])[0]),
+            tile_width=int(tags.get(T_TILEWIDTH, [0])[0]) if tiled else 0,
+            tile_length=int(tags.get(T_TILELENGTH, [0])[0]) if tiled else 0,
         )
+
+
+_READABLE_COMPRESSIONS = (
+    COMPRESSION_NONE,
+    COMPRESSION_LZW,
+    COMPRESSION_DEFLATE,
+    COMPRESSION_ADOBE_DEFLATE,
+    COMPRESSION_PACKBITS,
+)
 
 
 def _check_readable(info: TiffInfo) -> None:
     if info.bits != 16:
         raise ValueError(f"only 16-bit TIFFs supported, got {info.bits}")
-    if info.compression not in (COMPRESSION_NONE, COMPRESSION_LZW):
+    if info.compression not in _READABLE_COMPRESSIONS:
         raise ValueError(f"unsupported compression {info.compression}")
+    if info.planar not in (1, 2):
+        raise ValueError(f"unsupported planar configuration {info.planar}")
 
 
-def _decode_strip(f, info: TiffInfo, off: int, cnt: int, rows: int):
-    """Decode one strip into a (rows, W, S) uint16 array."""
-    want = rows * info.width * info.samples * 2
+def _packbits_decode(data: bytes, want: int) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9): literal runs and repeats."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < want:
+        h = data[i]
+        i += 1
+        if h < 128:                       # h+1 literal bytes
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:                     # next byte repeated 257-h times
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def _decompress(data: bytes, compression: int, want: int) -> bytes:
+    if compression == COMPRESSION_LZW:
+        return native.lzw_decode(data, want)
+    if compression in (COMPRESSION_DEFLATE, COMPRESSION_ADOBE_DEFLATE):
+        import zlib
+
+        return zlib.decompress(data)
+    if compression == COMPRESSION_PACKBITS:
+        return _packbits_decode(data, want)
+    return data
+
+
+def _decode_block(
+    f, info: TiffInfo, off: int, cnt: int, rows: int, width: int, samples: int
+):
+    """Decode one strip or tile into a (rows, width, samples) uint16 array.
+
+    ``width``/``samples`` are passed explicitly because planar strips carry
+    one sample plane and tiles carry the tile width, not the image width.
+    """
+    want = rows * width * samples * 2
     f.seek(off)
     data = f.read(int(cnt))
-    if info.compression == COMPRESSION_LZW:
-        data = native.lzw_decode(data, want)
+    data = _decompress(data, info.compression, want)
     arr = np.frombuffer(
         data[:want], dtype="<u2" if info.little_endian else ">u2"
     )
-    strip = arr.reshape(rows, info.width, info.samples).astype(np.uint16)
+    block = arr.reshape(rows, width, samples).astype(np.uint16)
     if info.predictor == 2:
-        acc = np.cumsum(strip.astype(np.uint64), axis=1)
-        strip = (acc & 0xFFFF).astype(np.uint16)
-    return strip
+        # horizontal differencing is per sample within each row of the
+        # strip/tile — integrate across the block's own width
+        acc = np.cumsum(block.astype(np.uint64), axis=1)
+        block = (acc & 0xFFFF).astype(np.uint16)
+    return block
+
+
+def _iter_strips_chunky(f, info: TiffInfo):
+    row = 0
+    for off, cnt in zip(info.strip_offsets, info.strip_counts):
+        rows = min(info.rows_per_strip, info.height - row)
+        yield _decode_block(f, info, off, cnt, rows, info.width, info.samples)
+        row += rows
+
+
+def _iter_strips_planar(f, info: TiffInfo):
+    """PlanarConfiguration=2: all strips of sample 0, then sample 1, ...
+    Re-interleave plane strips of the same row range into chunky blocks;
+    memory stays bounded by one strip per plane."""
+    strips_per_plane = -(-info.height // info.rows_per_strip)
+    if len(info.strip_offsets) != strips_per_plane * info.samples:
+        raise ValueError(
+            f"planar TIFF: expected {strips_per_plane * info.samples} "
+            f"strips, found {len(info.strip_offsets)}"
+        )
+    row = 0
+    for i in range(strips_per_plane):
+        rows = min(info.rows_per_strip, info.height - row)
+        planes = [
+            _decode_block(
+                f, info,
+                info.strip_offsets[s * strips_per_plane + i],
+                info.strip_counts[s * strips_per_plane + i],
+                rows, info.width, 1,
+            )
+            for s in range(info.samples)
+        ]
+        yield np.concatenate(planes, axis=2)
+        row += rows
+
+
+def _iter_tiles(f, info: TiffInfo):
+    """Tiled layout (row-major tiles; planes sequential when planar=2):
+    assemble one tile-row band at a time into a (tile_length, W, S) block,
+    trimmed to the image bounds — memory bounded by one tile band."""
+    tw, tl = info.tile_width, info.tile_length
+    tiles_x = -(-info.width // tw)
+    tiles_y = -(-info.height // tl)
+    planes = info.samples if info.planar == 2 else 1
+    spp_tile = 1 if info.planar == 2 else info.samples
+    expected = tiles_x * tiles_y * planes
+    if len(info.strip_offsets) != expected:
+        raise ValueError(
+            f"tiled TIFF: expected {expected} tiles, found "
+            f"{len(info.strip_offsets)}"
+        )
+    for ty in range(tiles_y):
+        rows = min(tl, info.height - ty * tl)
+        band = np.empty((rows, info.width, info.samples), np.uint16)
+        for p in range(planes):
+            for tx in range(tiles_x):
+                idx = (p * tiles_y + ty) * tiles_x + tx
+                tile = _decode_block(
+                    f, info,
+                    info.strip_offsets[idx], info.strip_counts[idx],
+                    tl, tw, spp_tile,
+                )
+                cols = min(tw, info.width - tx * tw)
+                dst = band[:, tx * tw : tx * tw + cols]
+                if info.planar == 2:
+                    dst[:, :, p] = tile[:rows, :cols, 0]
+                else:
+                    dst[:] = tile[:rows, :cols]
+        yield band
 
 
 def iter_tiff_strips(path: str):
-    """Yield successive decoded (rows, W, S) uint16 strips of a TIFF
+    """Yield successive decoded (rows, W, S) uint16 blocks of a TIFF
     without ever materialising the raster — the reader counterpart of
     :class:`TiffStripWriter`, enabling StitchTiffGDAL-style sectioned
-    streaming (per-section RasterIO loop, imageop.h:489-558)."""
+    streaming (per-section RasterIO loop, imageop.h:489-558).
+
+    Beyond the writer's own dialect (strip-based chunky, none/LZW), the
+    reader accepts foreign rasters the reference consumed through
+    cv::imread / GDAL (imageop.h:418-420, 489-558): deflate and PackBits
+    compression, PlanarConfiguration=2, tiled layout, and big-endian files.
+    """
     info = read_tiff_info(path)
     _check_readable(info)
-    row = 0
     with open(path, "rb") as f:
-        for off, cnt in zip(info.strip_offsets, info.strip_counts):
-            rows = min(info.rows_per_strip, info.height - row)
-            yield _decode_strip(f, info, off, cnt, rows)
-            row += rows
+        if info.tile_width:
+            it = _iter_tiles(f, info)
+        elif info.planar == 2 and info.samples > 1:
+            it = _iter_strips_planar(f, info)
+        else:
+            it = _iter_strips_chunky(f, info)
+        yield from it
 
 
 def iter_tiff_rows(path: str, chunk_rows: int):
