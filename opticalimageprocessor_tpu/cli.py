@@ -436,6 +436,13 @@ def _enable_compile_cache() -> None:
         if plat:
             jax.config.update("jax_platforms", plat)
 
+        # multi-host (DCN) launch: when the OIP_DIST_* env is present,
+        # join the cross-process coordination service before the first
+        # backend use so jax.devices() spans every host's chips
+        from .parallel.distributed import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
+
         cache = os.environ.get(
             "OIP_JAX_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "oiptpu_jax"),

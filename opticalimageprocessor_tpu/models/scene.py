@@ -97,6 +97,9 @@ def _row_blocks(arr, total_rows: int | None = None):
         total_rows = arr.shape[0]
     shards = getattr(arr, "addressable_shards", None)
     if shards is not None and len(shards) > 1:
+        from ..parallel.distributed import require_single_process_drain
+
+        require_single_process_drain("scene _row_blocks")
         for sh in sorted(
             shards, key=lambda s: s.index[0].start or 0
         ):

@@ -64,6 +64,9 @@ def run_sharded_align(
     RRC flags follow the CLI: identity parameters are substituted when a
     correction is disabled (bit-exact no-op through the RRC math).
     """
+    from ..parallel.distributed import require_single_process_drain
+
+    require_single_process_drain("run_sharded_align")
     band_px = pixels_per_line // MSS_BANDS
     pan = raw_io.RawStrip(pan_file, pixels_per_line)
     mss = raw_io.RawStrip(mss_file, pixels_per_line)

@@ -47,6 +47,9 @@ def _drain_to_raw(
     """Write a line-sharded device array to a RAW file shard-by-shard in
     line order (host RSS bounded by one shard).  ``total`` trims the
     mesh-padding rows at the strip bottom."""
+    from ..parallel.distributed import require_single_process_drain
+
+    require_single_process_drain("_drain_to_raw")
     writer = raw_io.RawStripWriter(path, pixels_per_line)
     if total is None:
         total = arr.shape[0]

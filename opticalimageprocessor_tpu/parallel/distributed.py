@@ -1,0 +1,142 @@
+"""Multi-host (DCN) launch path: env-driven ``jax.distributed`` setup.
+
+SURVEY §5's distributed-communication row covers two transports: ICI
+collectives inside a jitted step (``sharded.py`` / ``sharded_scene.py``)
+and the cross-host (DCN) control plane that makes one logical mesh span
+several processes.  This module is the latter — the TPU-native
+equivalent of the reference's would-be MPI launcher: each host process
+calls :func:`maybe_initialize_distributed` before first backend use,
+after which ``jax.devices()`` is the GLOBAL device list, the existing
+``line_mesh()`` spans hosts, and the per-shard ingest callbacks
+(``sharded.ingest_line_sharded``) are invoked only for each host's
+addressable shards — per-host shard IO with zero code changes.
+
+Launch (one process per host)::
+
+    OIP_DIST_COORD=host0:9876 OIP_DIST_NPROCS=4 OIP_DIST_PROCID=k \\
+        oiptpu scene --mesh 32 ...
+
+Collectives ride ICI within a host's chips and DCN across hosts (XLA
+partitions them automatically from the same ``shard_map`` programs).
+"""
+
+from __future__ import annotations
+
+import os
+
+_ENV_COORD = "OIP_DIST_COORD"
+_ENV_NPROCS = "OIP_DIST_NPROCS"
+_ENV_PROCID = "OIP_DIST_PROCID"
+_ENV_LOCAL_IDS = "OIP_DIST_LOCAL_DEVICE_IDS"
+
+_initialized = False
+
+
+def distributed_env_present() -> bool:
+    """True iff the launch env requests multi-process operation."""
+    return bool(os.environ.get(_ENV_COORD))
+
+
+def maybe_initialize_distributed() -> bool:
+    """Initialise ``jax.distributed`` from ``OIP_DIST_*`` env vars.
+
+    Must run before the first jax backend use in the process.  No-op
+    (returns False) when ``OIP_DIST_COORD`` is unset, so single-process
+    runs pay nothing.  Idempotent within a process.
+
+    Env contract:
+      - ``OIP_DIST_COORD``  — ``host:port`` of process 0's coordinator
+      - ``OIP_DIST_NPROCS`` — total number of processes
+      - ``OIP_DIST_PROCID`` — this process's id in ``[0, NPROCS)``
+      - ``OIP_DIST_LOCAL_DEVICE_IDS`` — optional comma-separated local
+        device ids to claim (defaults to all local devices)
+    """
+    global _initialized
+    if not distributed_env_present():
+        return False
+    if _initialized:
+        return True
+
+    import jax
+
+    try:
+        nprocs = int(os.environ[_ENV_NPROCS])
+        procid = int(os.environ[_ENV_PROCID])
+    except KeyError as e:
+        raise RuntimeError(
+            f"{_ENV_COORD} is set but {e.args[0]} is missing: the "
+            "distributed launch env needs all of "
+            f"{_ENV_COORD}/{_ENV_NPROCS}/{_ENV_PROCID}"
+        ) from None
+    if not (0 <= procid < nprocs):
+        raise RuntimeError(
+            f"{_ENV_PROCID}={procid} outside [0, {_ENV_NPROCS}={nprocs})"
+        )
+    kwargs = {}
+    ids = os.environ.get(_ENV_LOCAL_IDS)
+    if ids:
+        kwargs["local_device_ids"] = [int(x) for x in ids.split(",")]
+    jax.distributed.initialize(
+        coordinator_address=os.environ[_ENV_COORD],
+        num_processes=nprocs,
+        process_id=procid,
+        **kwargs,
+    )
+    _initialized = True
+    return True
+
+
+def process_index() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def is_primary() -> bool:
+    """True on the process that should perform host-side singleton work
+    (writing output files, OLOG QA tables)."""
+    import jax
+
+    return jax.process_index() == 0
+
+
+def require_single_process_drain(what: str) -> None:
+    """Guard for sequential file drains that assume EVERY shard of a
+    line-sharded array is addressable locally.  In a multi-process run
+    each process holds only its own shards, so a sequential drain would
+    silently write a partial raster — fail loudly instead until the
+    offset-write multi-host drain lands."""
+    import jax
+
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            f"{what}: sequential file drain is single-process only; in a "
+            f"multi-host run ({jax.process_count()} processes) each "
+            "process holds only its addressable shards.  Multi-host "
+            "output drains (per-host row-offset writes) are not "
+            "implemented yet — run the drain stage single-process."
+        )
+
+
+def barrier(name: str = "oip_barrier") -> None:
+    """Cross-process sync point (device-collective based: one tiny psum
+    over every device, forcing all hosts to reach the same program
+    point before any host proceeds)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs, ("b",))
+    one = jax.make_array_from_callback(
+        (len(devs),),
+        NamedSharding(mesh, P("b")),
+        lambda idx: np.ones(1, np.float32),
+    )
+    out = jax.jit(
+        jnp.sum, out_shardings=NamedSharding(mesh, P())
+    )(one)
+    got = int(out.block_until_ready()[()])
+    if got != len(devs):
+        raise RuntimeError(f"barrier '{name}': {got} != {len(devs)}")

@@ -213,6 +213,93 @@ def test_align_step_min_count_error(rng):
         step(pan, mss, pan_params, mss_params)
 
 
+def test_two_process_align_matches_single(tmp_path):
+    """Multi-host (DCN) launch path: two spawned processes, 4 virtual CPU
+    devices each, join one 8-device 'line' mesh via OIP_DIST_* env +
+    jax.distributed and run the sharded align step with per-host shard
+    ingest.  The replicated fit coefficients and the reassembled aligned
+    raster must match this process's single-process 8-device run."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    from jax.sharding import PartitionSpec as P
+
+    import dist_worker
+
+    # single-process reference on this process's own 8-device mesh
+    pan, mss, pan_params, mss_params = dist_worker.make_inputs()
+    m = mesh_lib.line_mesh(8)
+    pan_s = sharded.ingest_line_sharded(m, pan, pan.shape[0], 0,
+                                        P("line", None))
+    mss_s = sharded.ingest_line_sharded(m, mss, mss.shape[1], 1,
+                                        P(None, "line", None))
+    step = sharded.make_align_step(m, slices=8, sections=1)
+    aligned_1, cx_1, cy_1 = step(pan_s, mss_s, pan_params, mss_params)
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    outdir = str(tmp_path)
+    worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(worker))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(i), "2", str(port), outdir],
+            env=env,
+        )
+        for i in range(2)
+    ]
+    try:
+        for p in procs:
+            assert p.wait(timeout=600) == 0
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert os.path.exists(os.path.join(tmp_path, "DONE"))
+
+    # XLA:CPU codegen depends on --xla_force_host_platform_device_count
+    # (4 per worker vs 8 here — docs/NUMERICS.md "program structures"), so
+    # the gate is the documented white-noise envelope, not bit equality.
+    # Individual polynomial coefficients are correlated (intercept/slope
+    # trade off), so compare the EVALUATED shift curves over the raster
+    # extent — the quantity the resample consumes — to the cv2-e2e gate.
+    width, rows = pan.shape[1], mss.shape[1]
+    xs = np.arange(width, dtype=np.float64)
+    ys = np.arange(rows, dtype=np.float64)
+    for pid in range(2):
+        cx_w = np.load(tmp_path / f"cx_{pid}.npy")
+        cy_w = np.load(tmp_path / f"cy_{pid}.npy")
+        for b in range(4):
+            dx_curve = np.polyval(cx_w[b][::-1], xs) - np.polyval(
+                np.asarray(cx_1)[b][::-1], xs
+            )
+            dy_curve = np.polyval(cy_w[b][::-1], ys) - np.polyval(
+                np.asarray(cy_1)[b][::-1], ys
+            )
+            assert np.abs(dx_curve).max() < 5e-3, (b, np.abs(dx_curve).max())
+            assert np.abs(dy_curve).max() < 5e-3, (b, np.abs(dy_curve).max())
+    shards = sorted(tmp_path.glob("aligned_r*.npy"))
+    assert len(shards) == 8
+    got = np.concatenate([np.load(p) for p in shards], axis=0)
+    want = np.asarray(aligned_1)
+    assert got.shape == want.shape
+    # sub-millipixel fit wobble flips rint on many pixels (small DN each)
+    # — bound the envelope, not bits
+    diff = np.abs(got.astype(np.int64) - want.astype(np.int64))
+    assert diff.mean() < 1.0 and diff.max() <= 8, (diff.mean(), diff.max())
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
