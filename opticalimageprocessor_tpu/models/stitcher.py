@@ -259,6 +259,7 @@ class Stitcher:
 
         row_offset = 0
         last = None
+        prev_offset = final_offset = 0
         with stage("prestitch", self.size_pan):
             s = 0
             while True:
@@ -273,10 +274,46 @@ class Stitcher:
                     writer.write_lines(mapped[:ucut])
                 writer.write_lines(mapped[ucut : rows - bcut])
                 last = mapped
+                prev_offset, final_offset = final_offset, row_offset
                 row_offset += rows - total_cut
                 s += 1
             if bcut > 0 and last is not None:
-                writer.write_lines(last[last.shape[0] - bcut :])
+                if s >= 2:
+                    # Compiled-reference parity (verified byte-exact vs a
+                    # harness-built stitcher.h:83-139 binary): the
+                    # reference's bottom cut takes dst rows [R-bcut, R) of
+                    # the ROLLING 30000-row buffer, whose rows beyond the
+                    # final section's fresh read still hold the PREVIOUS
+                    # section's data (PreStitch reuses `buff` without
+                    # clearing; SectionaryRemap remaps the full buffer).
+                    # Reconstruct that buffer window and remap it at the
+                    # same phase; rows >= R read border-0, like the Mat
+                    # edge.  Single-section strips (< 2 sections) keep the
+                    # fresh-tail semantics: the reference rejects them
+                    # outright (REMAP_ROW_GUARD), so this is our defined
+                    # extension territory.
+                    R = REMAP_SECTION_ROWS
+                    rows_final = self.lines_pan - final_offset
+                    w0 = max(0, R - 2 * bcut - 8)
+                    window = np.empty(
+                        (R - w0, self.pixels_per_line), np.uint16
+                    )
+                    fresh_hi = min(rows_final, R)
+                    if fresh_hi > w0:
+                        window[: fresh_hi - w0] = src.section(
+                            final_offset + w0, fresh_hi - w0
+                        )
+                    if R > fresh_hi:
+                        j0 = max(w0, fresh_hi)
+                        window[j0 - w0 :] = src.section(
+                            prev_offset + j0, R - j0
+                        )
+                    mapped_w = np.asarray(
+                        resample.remap_section_u16(jnp.asarray(window), plan)
+                    )
+                    writer.write_lines(mapped_w[R - bcut - w0 :])
+                else:
+                    writer.write_lines(last[last.shape[0] - bcut :])
         writer.close()
         self.prestt_file_pan2 = out_path
         olog("Pre-stitched PAN2 written to file '%s'.", out_path)
