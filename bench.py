@@ -179,7 +179,8 @@ def run_bench(plat: str | None) -> None:
         lines_pan = int(os.environ.get("OIP_BENCH_LINES", 32768))
         slices, n_iters = 10, 8
     else:  # CI/CPU smoke mode
-        lines_pan, slices, n_iters = 2048, 8, 2
+        lines_pan = int(os.environ.get("OIP_BENCH_LINES", 2048))
+        slices, n_iters = 8, 2
     lines_mss = lines_pan // MSS_BANDS
 
     rng = np.random.default_rng(0)
@@ -193,24 +194,38 @@ def run_bench(plat: str | None) -> None:
     scene = rng.integers(
         2000, 42000, (lines_mss, PIXELS_PER_MSSBAND), dtype=np.uint16
     )
-    pan1 = jnp.clip(
-        jnp.rint(resample.upsample4_f32(jnp.asarray(scene, jnp.float32))),
-        0, 65535,
-    ).astype(jnp.uint16)
-    # PAN2's left 200 columns see PAN1's right-edge ground (dual-CMOS
-    # overlap) with a small (dx=-3, dy=+2) mounting offset
-    pan2 = jnp.roll(
-        jnp.roll(pan1, 2, axis=0), 200 - 3 - PIXELS_PER_LINE, axis=1
-    )
-    mss = jnp.asarray(
-        np.stack(
+    # multi-GB configs keep only the small MSS-resolution scene resident
+    # and derive PAN1/PAN2/MSS inside the jitted step: the persistent
+    # input set shrinks from ~3.6 GB to ~100 MB, so two output sets fit
+    # HBM and the run can pipeline (round-3 gap: 65536 lines OOM'd at
+    # depth 2 and fell back to serialized timing).  Overridable:
+    # OIP_BENCH_SYNTH=0 forces materialised inputs (serialized timing).
+    synth_threshold = int(os.environ.get("OIP_BENCH_SYNTH_THRESHOLD", 49152))
+    synth_on_device = lines_pan > synth_threshold and os.environ.get(
+        "OIP_BENCH_SYNTH", "1"
+    ) != "0"
+
+    def derive_inputs(scene_d):
+        pan1 = jnp.clip(
+            jnp.rint(resample.upsample4_f32(scene_d.astype(jnp.float32))),
+            0, 65535,
+        ).astype(jnp.uint16)
+        # PAN2's left 200 columns see PAN1's right-edge ground (dual-CMOS
+        # overlap) with a small (dx=-3, dy=+2) mounting offset
+        pan2 = jnp.roll(
+            jnp.roll(pan1, 2, axis=0), 200 - 3 - PIXELS_PER_LINE, axis=1
+        )
+        mss = jnp.stack(
             [
-                np.roll(np.roll(scene, b % 2, axis=0), b - 1, axis=1)
+                jnp.roll(jnp.roll(scene_d, b % 2, axis=0), b - 1, axis=1)
                 for b in range(MSS_BANDS)
             ]
         )
-    )
-    del scene
+        return pan1, pan2, mss
+
+    if not synth_on_device:
+        pan1, pan2, mss = derive_inputs(jnp.asarray(scene))
+        del scene
 
     def rand_params(n):
         return jnp.asarray(
@@ -234,7 +249,18 @@ def run_bench(plat: str | None) -> None:
     )
 
     pipeline = make_device_pipeline(slices=slices)
-    args = (pan1, pan2, mss, pan1_params, pan2_params, mss_params)
+    if synth_on_device:
+        inner = pipeline
+
+        @jax.jit
+        def pipeline(scene_d, p1, p2, pm):
+            a, b, c = derive_inputs(scene_d)
+            return inner(a, b, c, p1, p2, pm)
+
+        args = (jnp.asarray(scene), pan1_params, pan2_params, mss_params)
+        del scene
+    else:
+        args = (pan1, pan2, mss, pan1_params, pan2_params, mss_params)
 
     out = pipeline(*args)
     jax.block_until_ready(out)
@@ -262,13 +288,16 @@ def run_bench(plat: str | None) -> None:
     # up-front: an OOM'd execution poisons subsequent device ops).
     import sys
 
-    if lines_pan <= 49152:
+    if lines_pan <= 49152 or synth_on_device:
         # best of 3 windows: the host sporadically slows for stretches,
         # which would otherwise charge scheduling hiccups to the device.
         # Depth 3 (two iterations in flight) keeps the device fed across
-        # the host's dispatch gaps; ~3 output sets of HBM.
+        # the host's dispatch gaps; ~3 output sets of HBM.  Multi-GB
+        # configs (on-device input synthesis) bound HBM to 2 output sets
+        # with depth 2 instead.
         from collections import deque
 
+        depth = 1 if synth_on_device else 2
         window_dts = []
         for _w in range(3):
             t0 = time.perf_counter()
@@ -276,7 +305,7 @@ def run_bench(plat: str | None) -> None:
             done = 0
             for it in range(n_iters):
                 inflight.append(pipeline(*args))
-                if len(inflight) > 2:
+                if len(inflight) > depth:
                     out_i = inflight.popleft()
                     jax.block_until_ready(out_i)
                     _ = np.asarray(out_i[0][done % 7, done % 5])
