@@ -717,6 +717,119 @@ def _fast_row_pass_from_cu(
     return acc
 
 
+# ---------------------------------------------------------------------------
+# Fused col+row Pallas remap (opt-in): ONE kernel per strip, ~1 HBM read
+# + 1 write of the raster — the speed-of-light shape for the remap, vs
+# the staged path's materialised column-interp intermediate (docs/PERF.md
+# puts the staged align remap 10-25x above HBM SoL).
+# ---------------------------------------------------------------------------
+
+_FUSED_REMAP_PALLAS: bool = False
+_FUSED_REMAP_INTERPRET: bool = False
+FUSED_TILE_ROWS = 256
+
+
+def set_fused_remap_pallas(v: bool, interpret: bool = False) -> None:
+    """Route the chunked band remap through the fused single-kernel
+    col+row Pallas pass (:func:`_remap_fused_pallas`) instead of the
+    staged column-matmul + row-MAC XLA pipeline (``interpret`` = Pallas
+    interpret mode, for CPU parity tests)."""
+    global _FUSED_REMAP_PALLAS, _FUSED_REMAP_INTERPRET
+    _FUSED_REMAP_PALLAS = v
+    _FUSED_REMAP_INTERPRET = interpret
+
+
+def _remap_fused_pallas(
+    padded: jax.Array,
+    rows: int,
+    col_matrix: jax.Array,
+    g: jax.Array,
+    row_bound: int,
+    tile_rows: int = FUSED_TILE_ROWS,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused column-cubic + vertical-MAC remap as one Pallas kernel.
+
+    Same math as :func:`_remap_fast_over_padded` (derivation: for output
+    row ``y``, out[y, x] = sum_v cu[v, x] * colinterp(padded)[y + v + 1,
+    x] with U = 2*row_bound + 4 — the (rb+1, rb+2) zero-pad rows of the
+    staged path are never touched by the kept rows).  Each grid step DMAs
+    one (TR + U - 1, B + 2H) uint16 window from HBM into VMEM (manual
+    copy: the windows overlap in both axes, which BlockSpec indexing
+    cannot express), runs the banded column matmul on the MXU and the U
+    vertical MACs on the VPU entirely in VMEM, and writes one (TR, B)
+    uint16 tile.  HBM traffic is ~2.2 B/px read + 2 B/px write — the SoL
+    shape — vs the staged path's materialised f32 column-interp buffer,
+    block stack, and shifted MAC reads.
+
+    ``padded``: (>= rows + U, W) uint16 with row_bound + 2 context rows
+    above the first output row (the :func:`pad_for_fast_remap` layout);
+    ``col_matrix``: (nB, B + 2H, B) from :func:`_col_interp_matrix`;
+    ``g``: (W,) per-column vertical offset.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = jnp.float32
+    width = padded.shape[1]
+    U = 2 * row_bound + 4
+    n_blocks, bh, block = col_matrix.shape
+    halo = (bh - block) // 2
+    cu = _row_pass_coeffs(g, width, row_bound)          # (U, W)
+    cu_blocks = jnp.transpose(
+        cu.reshape(U, n_blocks, block), (1, 0, 2)
+    )                                                    # (nB, U, B)
+
+    TR = min(tile_rows, rows)
+    n_row_t = -(-rows // TR)
+    need_rows = n_row_t * TR + U
+    fill = need_rows - padded.shape[0]
+    src2 = jnp.pad(
+        padded, ((0, max(fill, 0)), (halo, halo))
+    )
+    WIN_R = TR + U - 1
+    WIN_C = block + 2 * halo
+
+    def kernel(src_hbm, mat, cub, out, win, sem):
+        j = pl.program_id(0)   # column block (slow axis: mat/cu cached)
+        i = pl.program_id(1)   # row tile (fast axis: walks down a stripe)
+        cp = pltpu.make_async_copy(
+            src_hbm.at[pl.ds(i * TR + 1, WIN_R), pl.ds(j * block, WIN_C)],
+            win,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+        colg = jax.lax.dot_general(
+            win[...].astype(f32),
+            mat[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )                                               # (WIN_R, B)
+        acc = jnp.zeros((TR, block), f32)
+        for v in range(U):
+            acc = acc + colg[v : v + TR] * cub[0, v][None, :]
+        out[...] = jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_row_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, bh, block), lambda j, i: (j, 0, 0)),
+            pl.BlockSpec((1, U, block), lambda j, i: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TR, block), lambda j, i: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((n_row_t * TR, width), jnp.uint16),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_R, WIN_C), jnp.uint16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(src2, col_matrix, cu_blocks)
+    return out[:rows]
+
+
 def _band_g(coeff_y, width: int):
     """Per-column vertical offset G(x) from the fitted dy polynomial."""
     f32 = jnp.float32
@@ -745,6 +858,11 @@ def _remap_fast_over_padded(
     strip/section border (single-device path) or true neighbour rows from
     a ppermute halo exchange (the sharded scene pipeline)."""
     width = padded.shape[1]
+    if _FUSED_REMAP_PALLAS and width % col_matrix.shape[2] == 0:
+        return _remap_fused_pallas(
+            padded, rows, col_matrix, g, row_bound,
+            interpret=_FUSED_REMAP_INTERPRET,
+        )
     chunk_rows = min(chunk_rows, rows)
     n_chunks = -(-rows // chunk_rows)
     halo = row_bound + 2

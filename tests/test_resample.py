@@ -163,3 +163,67 @@ def test_remap_const_fast_matches_generic(rng):
         )
         d = np.abs(want.astype(np.int32) - got.astype(np.int32))
         assert d.max() <= 1, (dx, dy, d.max())
+
+
+def test_fused_remap_pallas_matches_staged(rng):
+    """The opt-in fused col+row Pallas kernel (one HBM read + one write,
+    the remap's speed-of-light shape — docs/PERF.md) matches the staged
+    column-matmul + masked-MAC path within the fast-path envelope
+    (<= 1 DN: the per-stripe dot's f32 accumulation order differs from
+    the blocked einsum) through the full chunked band remap, including
+    non-multiple-of-tile row counts and per-column floor(G) variation."""
+    import jax.numpy as jnp
+
+    from opticalimageprocessor_tpu.ops import resample
+
+    src = jnp.asarray(rng.integers(0, 65536, (700, 1536), dtype=np.uint16))
+    cx = jnp.asarray([3.7, -2.1e-4], jnp.float32)
+    cy = jnp.asarray([-1.9, 6.5e-4, -3.0e-7], jnp.float32)
+    want = np.asarray(
+        resample.remap_band_fast_chunked(
+            src, cx, cy, chunk_rows=256, row_bound=4,
+            col_block=128, col_halo=16,
+        )
+    )
+    try:
+        resample.set_fused_remap_pallas(True, interpret=True)
+        got = np.asarray(
+            resample.remap_band_fast_chunked(
+                src, cx, cy, chunk_rows=256, row_bound=4,
+                col_block=128, col_halo=16,
+            )
+        )
+    finally:
+        resample.set_fused_remap_pallas(False)
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"max {diff.max()}"
+    assert (diff > 0).mean() < 0.02, f"count {(diff > 0).sum()}"
+
+
+def test_fused_remap_pallas_oracle_envelope(rng):
+    """Fused kernel vs the parity-grade plan path: same <= 1 DN fast-path
+    envelope the staged fast remap is locked to."""
+    import jax.numpy as jnp
+
+    from opticalimageprocessor_tpu.ops import resample
+
+    src = jnp.asarray(rng.integers(0, 65536, (320, 512), dtype=np.uint16))
+    cx = jnp.asarray([1.25, -1.0e-4], jnp.float32)
+    cy = jnp.asarray([-0.75, 2.0e-4, -1.0e-7], jnp.float32)
+    plan = resample.plan_for_band_alignment(
+        np.asarray(cx, np.float64), np.asarray(cy, np.float64), 512,
+        quantized_coords=False,
+    )
+    want = np.asarray(resample.remap_section_u16(src, plan))
+    try:
+        resample.set_fused_remap_pallas(True, interpret=True)
+        got = np.asarray(
+            resample.remap_band_fast_chunked(
+                src, cx, cy, chunk_rows=128, row_bound=4,
+                col_block=128, col_halo=16,
+            )
+        )
+    finally:
+        resample.set_fused_remap_pallas(False)
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, f"max {diff.max()}"

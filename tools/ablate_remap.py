@@ -104,6 +104,31 @@ def main(args):
         finally:
             resample.set_row_pass_pallas(False)
 
+    # -- band remap with the FUSED col+row Pallas kernel (TPU only) -------
+    if jax.default_backend() != "tpu":
+        print("band x4 FUSED-pallas: skipped (needs TPU)")
+    else:
+        for tr in (256, 512):
+
+            def fused_fn(m, cx=cx, cy=cy, tr=tr):
+                cmat = resample._col_interp_matrix(
+                    cx, PIXELS_PER_MSSBAND, 128, 16
+                )
+                g = resample._band_g(cy, PIXELS_PER_MSSBAND)
+                halo = 3 + 2
+                outs = [
+                    resample._remap_fused_pallas(
+                        jnp.pad(m[i], ((halo, halo), (0, 0))),
+                        m.shape[1], cmat, g, 3, tile_rows=tr,
+                    )
+                    for i in range(MSS_BANDS)
+                ]
+                return jnp.stack(outs, axis=-1)
+
+            mn, md = timeit(jax.jit(fused_fn), (mss4,), args.n)
+            print(f"band x4 FUSED-pallas: tile_rows={tr} "
+                  f"min={mn:.1f} med={md:.1f} ms")
+
     # -- column matmul only (one band) ------------------------------------
     cm = resample._col_interp_matrix(cx, PIXELS_PER_MSSBAND, 128, 16)
     ck = min(512, lines_mss)
