@@ -44,26 +44,17 @@ def _drain_to_raw(
     arr, path: str, pixels_per_line: int, stage_name: str,
     total: int | None = None,
 ):
-    """Write a line-sharded device array to a RAW file shard-by-shard in
-    line order (host RSS bounded by one shard).  ``total`` trims the
-    mesh-padding rows at the strip bottom."""
-    from ..parallel.distributed import require_single_process_drain
+    """Write a line-sharded device array to a RAW file shard-by-shard
+    (host RSS bounded by one shard).  ``total`` trims the mesh-padding
+    rows at the strip bottom.  Works single-process (sequential writes)
+    and multi-host (per-process row-offset writes into a shared file —
+    see :func:`parallel.distributed.drain_line_sharded_to_raw`)."""
+    from ..parallel.distributed import drain_line_sharded_to_raw
 
-    require_single_process_drain("_drain_to_raw")
-    writer = raw_io.RawStripWriter(path, pixels_per_line)
     if total is None:
         total = arr.shape[0]
     with stage(stage_name, total * pixels_per_line * 2):
-        shards = sorted(
-            arr.addressable_shards, key=lambda s: s.index[0].start or 0
-        )
-        for sh in shards:
-            a = sh.index[0].start or 0
-            b = sh.index[0].stop or total
-            if a >= total:
-                continue
-            writer.write_lines(np.asarray(sh.data)[: min(b, total) - a])
-    writer.close()
+        drain_line_sharded_to_raw(arr, path, pixels_per_line, total)
     return path
 
 

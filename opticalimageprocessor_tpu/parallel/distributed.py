@@ -100,6 +100,57 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def drain_line_sharded_to_raw(
+    arr,
+    path: str,
+    pixels_per_line: int,
+    total: int | None = None,
+) -> str:
+    """Multi-host drain of a line-sharded uint16 array to ONE RAW file.
+
+    Each process writes only its addressable shards, at their global row
+    offsets, into a shared (network) filesystem file that process 0
+    pre-sizes; device-collective barriers order create -> write ->
+    return.  This is the DCN-era counterpart of the sequential
+    shard-by-shard drain (host RSS stays bounded by one shard either
+    way).  ``total`` trims mesh-padding rows at the strip bottom.
+
+    Single-process callers get plain sequential writes (no barriers), so
+    the helper is safe as the only drain implementation.
+    """
+    import jax
+    import numpy as np
+
+    if total is None:
+        total = arr.shape[0]
+    row_bytes = pixels_per_line * 2
+    multi = jax.process_count() > 1
+    if not multi or jax.process_index() == 0:
+        with open(path, "wb") as f:
+            f.truncate(total * row_bytes)
+    if multi:
+        barrier("drain-create:" + path)
+    with open(path, "r+b") as f:
+        for sh in sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        ):
+            a = sh.index[0].start or 0
+            b = sh.index[0].stop
+            b = total if b is None else min(b, total)
+            if a >= b:
+                continue
+            data = np.asarray(sh.data)[: b - a]
+            f.seek(a * row_bytes)
+            f.write(
+                np.ascontiguousarray(data, dtype="<u2")
+                .reshape(b - a, -1)[:, :pixels_per_line]
+                .tobytes()
+            )
+    if multi:
+        barrier("drain-done:" + path)
+    return path
+
+
 def require_single_process_drain(what: str) -> None:
     """Guard for sequential file drains that assume EVERY shard of a
     line-sharded array is addressable locally.  In a multi-process run

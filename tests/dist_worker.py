@@ -67,6 +67,17 @@ def main() -> None:
             os.path.join(outdir, f"aligned_r{r0:06d}.npy"),
             np.asarray(shard.data),
         )
+    # multi-host file drain: every process writes its own shards' rows
+    # at their global offsets into ONE shared RAW file
+    from opticalimageprocessor_tpu.parallel.distributed import (
+        drain_line_sharded_to_raw,
+    )
+
+    drain_line_sharded_to_raw(
+        pan_s, os.path.join(outdir, "pan_drained.RAW"), pan.shape[1],
+        total=pan.shape[0],
+    )
+
     barrier("dist-worker-done")
     if is_primary():
         with open(os.path.join(outdir, "DONE"), "w") as f:

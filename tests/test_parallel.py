@@ -299,6 +299,13 @@ def test_two_process_align_matches_single(tmp_path):
     diff = np.abs(got.astype(np.int64) - want.astype(np.int64))
     assert diff.mean() < 1.0 and diff.max() <= 8, (diff.mean(), diff.max())
 
+    # the multi-host drain (each process row-offset-writes its own shards
+    # into one shared file) must reproduce the ingested strip exactly
+    drained = np.fromfile(tmp_path / "pan_drained.RAW", "<u2").reshape(
+        pan.shape
+    )
+    np.testing.assert_array_equal(drained, pan)
+
 
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
