@@ -250,6 +250,50 @@ class TiffStripWriter:
             f.write(struct.pack("<I", ifd_pos))
 
 
+def create_tiff_shell(
+    path: str,
+    width: int,
+    height: int,
+    samples: int = 1,
+    rows_per_strip: int = 512,
+    bigtiff: bool | None = None,
+    photometric: int | None = None,
+    extrasamples: int | None = None,
+) -> int:
+    """Create a complete UNCOMPRESSED strip TIFF with zeroed raster bytes
+    and the IFD already in place; returns the byte offset of raster row 0.
+
+    With no compression the strip layout is fully determined up front
+    (row ``r`` lives at ``data_start + r * width * samples * 2``), so
+    multiple writers — in particular the per-host shard drains of a
+    multi-process mesh run — can fill disjoint row ranges by offset with
+    no further coordination.  The offset is also computable without
+    opening the file: 16 for BigTIFF, 8 for classic (the header is the
+    only thing before the raster).
+    """
+    w = TiffStripWriter(
+        path, width, height, samples,
+        rows_per_strip=rows_per_strip, compression="none",
+        bigtiff=bigtiff, photometric=photometric,
+        extrasamples=extrasamples,
+    )
+    data_start = w._f.tell()
+    rps = w.rows_per_strip
+    strip_bytes = rps * width * samples * 2
+    n_strips = -(-height // rps)
+    for k in range(n_strips):
+        rows = min(rps, height - k * rps)
+        w._offsets.append(data_start + k * strip_bytes)
+        w._counts.append(rows * width * samples * 2)
+    data_end = w._offsets[-1] + w._counts[-1]
+    w._f.truncate(data_end)
+    w._f.seek(data_end)
+    w._rows_written = height
+    w._write_ifd()
+    w._f.close()
+    return data_start
+
+
 def write_tiff(
     path: str,
     image: np.ndarray,

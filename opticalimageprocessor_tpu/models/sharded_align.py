@@ -64,9 +64,7 @@ def run_sharded_align(
     RRC flags follow the CLI: identity parameters are substituted when a
     correction is disabled (bit-exact no-op through the RRC math).
     """
-    from ..parallel.distributed import require_single_process_drain
-
-    require_single_process_drain("run_sharded_align")
+    multi_host = jax.process_count() > 1
     band_px = pixels_per_line // MSS_BANDS
     pan = raw_io.RawStrip(pan_file, pixels_per_line)
     mss = raw_io.RawStrip(mss_file, pixels_per_line)
@@ -155,20 +153,30 @@ def run_sharded_align(
         rrc_path = build_output_file_path(
             pan_file, RRC_STEM_EXT, TIFF_FILE_EXT, out_dir=out_dir
         )
-        w = tiff_io.TiffStripWriter(
-            rrc_path, pixels_per_line, pan.lines - line_offset, samples=1
-        )
         with stage("write_rrcpan", (pan.lines - line_offset) * pixels_per_line * 2):
-            for sh in sorted(
-                pan_c.addressable_shards, key=lambda s: s.index[0].start or 0
-            ):
-                a = sh.index[0].start or 0
-                b = min(sh.index[0].stop or pan.lines, pan.lines)
-                lo = max(a, line_offset)
-                if lo >= b:
-                    continue
-                w.write_rows(np.asarray(sh.data)[lo - a : b - a])
-        w.close()
+            if multi_host:
+                # per-host row-offset writes into one shared file
+                from ..parallel.distributed import drain_line_sharded_to_tiff
+
+                drain_line_sharded_to_tiff(
+                    pan_c, rrc_path, total=pan.lines, row0=line_offset
+                )
+            else:
+                w = tiff_io.TiffStripWriter(
+                    rrc_path, pixels_per_line, pan.lines - line_offset,
+                    samples=1,
+                )
+                for sh in sorted(
+                    pan_c.addressable_shards,
+                    key=lambda s: s.index[0].start or 0,
+                ):
+                    a = sh.index[0].start or 0
+                    b = min(sh.index[0].stop or pan.lines, pan.lines)
+                    lo = max(a, line_offset)
+                    if lo >= b:
+                        continue
+                    w.write_rows(np.asarray(sh.data)[lo - a : b - a])
+                w.close()
         olog("RRC'ed PAN written to %s", rrc_path)
     for b in range(MSS_BANDS):
         olog(
@@ -185,29 +193,43 @@ def run_sharded_align(
     start = 0 if keep_leading_lines else section_overlap
     out_rows = total_rows - start
     if not write_tiff:
+        if multi_host:
+            raise NotImplementedError(
+                "run_sharded_align(write_tiff=False): gathering the full "
+                "aligned raster to one host is not supported in a "
+                "multi-host run; use the TIFF drain"
+            )
         return np.asarray(aligned)[start:total_rows]
 
     path = build_output_file_path(
         mss_file, IBPA_STEM_EXT, TIFF_FILE_EXT, out_dir=out_dir
     )
     order = [2, 1, 0, 3] if bgr_tiff_order else [0, 1, 2, 3]
-    writer = tiff_io.TiffStripWriter(
-        path, band_px, out_rows, samples=MSS_BANDS
-    )
     with stage("write_aligned", out_rows * band_px * MSS_BANDS * 2):
-        # drain shard-by-shard in line order: each addressable shard covers
-        # a contiguous row block under the 'line' sharding
-        shards = sorted(
-            aligned.addressable_shards, key=lambda s: s.index[0].start or 0
-        )
-        for sh in shards:
-            a = sh.index[0].start or 0
-            b = min(sh.index[0].stop or total_rows, total_rows)
-            lo = max(a, start)
-            if lo >= b:
-                continue
-            block = np.asarray(sh.data)[lo - a : b - a]
-            writer.write_rows(block[:, :, order])
-    writer.close()
+        if multi_host:
+            from ..parallel.distributed import drain_line_sharded_to_tiff
+
+            drain_line_sharded_to_tiff(
+                aligned, path, total=total_rows, row0=start, order=order
+            )
+        else:
+            writer = tiff_io.TiffStripWriter(
+                path, band_px, out_rows, samples=MSS_BANDS
+            )
+            # drain shard-by-shard in line order: each addressable shard
+            # covers a contiguous row block under the 'line' sharding
+            shards = sorted(
+                aligned.addressable_shards,
+                key=lambda s: s.index[0].start or 0,
+            )
+            for sh in shards:
+                a = sh.index[0].start or 0
+                b = min(sh.index[0].stop or total_rows, total_rows)
+                lo = max(a, start)
+                if lo >= b:
+                    continue
+                block = np.asarray(sh.data)[lo - a : b - a]
+                writer.write_rows(block[:, :, order])
+            writer.close()
     olog("Aligned MSS written to %s", path)
     return path

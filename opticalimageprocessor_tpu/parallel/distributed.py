@@ -151,6 +151,74 @@ def drain_line_sharded_to_raw(
     return path
 
 
+def drain_line_sharded_to_tiff(
+    arr,
+    path: str,
+    total: int | None = None,
+    order: list[int] | None = None,
+    rows_per_strip: int = 512,
+    photometric: int | None = None,
+    extrasamples: int | None = None,
+    row0: int = 0,
+) -> str:
+    """Multi-host drain of a line-sharded raster to ONE uncompressed
+    strip TIFF.
+
+    Process 0 creates the complete file shell (header + zero raster +
+    IFD — :func:`io.tiff.create_tiff_shell`); after a barrier every
+    process writes its addressable shards' rows at their computed byte
+    offsets (uncompressed rows are affine in the row index).  ``order``
+    optionally permutes the sample axis per block (the BGRA TIFF channel
+    convention); ``row0``/``total`` select the array row range [row0,
+    total) that becomes the raster (the leading-overlap trim).
+    Single-process callers get the same flow without barriers.
+    Compressed output needs the sequential single-process writer —
+    variable strip sizes cannot be pre-assigned.
+    """
+    import jax
+    import numpy as np
+
+    from ..io.tiff import create_tiff_shell
+
+    if total is None:
+        total = arr.shape[0]
+    height = total - row0
+    width = arr.shape[1]
+    samples = arr.shape[2] if arr.ndim == 3 else 1
+    row_bytes = width * samples * 2
+    multi = jax.process_count() > 1
+    if not multi or jax.process_index() == 0:
+        data_start = create_tiff_shell(
+            path, width, height, samples,
+            rows_per_strip=rows_per_strip, photometric=photometric,
+            extrasamples=extrasamples,
+        )
+    else:
+        # deterministic: the header is the only thing before the raster
+        projected = width * height * samples * 2
+        data_start = 16 if projected >= (1 << 32) - (1 << 24) else 8
+    if multi:
+        barrier("tiff-create:" + path)
+    with open(path, "r+b") as f:
+        for sh in sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        ):
+            a = sh.index[0].start or 0
+            b = sh.index[0].stop
+            b = total if b is None else min(b, total)
+            lo = max(a, row0)
+            if lo >= b:
+                continue
+            block = np.asarray(sh.data)[lo - a : b - a]
+            if order is not None:
+                block = block[..., order]
+            f.seek(data_start + (lo - row0) * row_bytes)
+            f.write(np.ascontiguousarray(block, dtype="<u2").tobytes())
+    if multi:
+        barrier("tiff-done:" + path)
+    return path
+
+
 def require_single_process_drain(what: str) -> None:
     """Guard for sequential file drains that assume EVERY shard of a
     line-sharded array is addressable locally.  In a multi-process run

@@ -307,6 +307,113 @@ def test_two_process_align_matches_single(tmp_path):
     np.testing.assert_array_equal(drained, pan)
 
 
+def test_two_process_align_e2e_tiff_drains(tmp_path):
+    """Full multi-host run_sharded_align across two spawned processes:
+    file ingest, SPMD step, and the shared-file TIFF drains (each process
+    row-offset-writes its own shards).  The RRC'ed PAN TIFF must be
+    byte-identical to a single-process run (RRC is fit-independent,
+    byte-exact math); the ALIGNED TIFF matches within the documented
+    cross-device-count envelope."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    from opticalimageprocessor_tpu.formats import rrc_csv
+    from opticalimageprocessor_tpu.io import tiff as tiff_io
+    from opticalimageprocessor_tpu.models.sharded_align import (
+        run_sharded_align,
+    )
+    from opticalimageprocessor_tpu.ops import resample
+
+    rng = np.random.default_rng(31)
+    width, band_px = 512, 128
+    lines_mss = 1536
+    scene = rng.integers(2000, 42000, (lines_mss, band_px)).astype(np.uint16)
+    pan_true = np.clip(
+        np.rint(np.asarray(resample.upsample4_f32(scene.astype(np.float32)))),
+        0, 65535,
+    ).astype(np.uint16)
+    kp, bp = 1.02, -100.0
+    pan_dl = np.clip(
+        np.rint((pan_true.astype(np.float64) - bp) / kp), 0, 65535
+    ).astype(np.uint16)
+    bands = [np.roll(scene, b % 2, axis=1) for b in range(4)]
+    mss = np.stack(bands, axis=1).reshape(lines_mss, width)
+    pan_dl.astype("<u2").tofile(tmp_path / "P.PAN.RAW")
+    mss.astype("<u2").tofile(tmp_path / "P.MSS.RAW")
+    rrc_csv.save_rrc_params(
+        str(tmp_path / "pan.rrc"), np.tile([[kp, bp]], (width, 1))
+    )
+    for i in range(1, 5):
+        rrc_csv.save_rrc_params(
+            str(tmp_path / f"b{i}.rrc"), np.tile([[1.0, 0.0]], (band_px, 1))
+        )
+
+    kwargs = dict(
+        rrc_pan_file=str(tmp_path / "pan.rrc"),
+        rrc_mss_files=tuple(
+            str(tmp_path / f"b{i}.rrc") for i in range(1, 5)
+        ),
+        do_rrc_pan=True, slices=8, sections=1, section_overlap=64,
+        pixels_per_line=width, write_rrcpan=True,
+    )
+    os.makedirs(tmp_path / "out_single", exist_ok=True)
+    single_path = run_sharded_align(
+        str(tmp_path / "P.PAN.RAW"), str(tmp_path / "P.MSS.RAW"),
+        out_dir=str(tmp_path / "out_single"), **kwargs,
+    )
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    os.makedirs(tmp_path / "out_multi", exist_ok=True)
+    worker = os.path.join(os.path.dirname(__file__), "dist_align_worker.py")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(worker))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(i), "2", str(port),
+             str(tmp_path)],
+            env=env,
+        )
+        for i in range(2)
+    ]
+    try:
+        for p in procs:
+            assert p.wait(timeout=600) == 0
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    # RRC'ed PAN: byte-identical (fit-independent, byte-exact RRC)
+    rrc_single = tiff_io.read_tiff(
+        str(tmp_path / "out_single" / "P.PAN.RRC.TIFF")
+    )
+    rrc_multi = tiff_io.read_tiff(
+        str(tmp_path / "out_multi" / "P.PAN.RRC.TIFF")
+    )
+    np.testing.assert_array_equal(rrc_multi, rrc_single)
+
+    # ALIGNED: the cross-device-count fit envelope (see
+    # test_two_process_align_matches_single)
+    a_single = tiff_io.read_tiff(single_path)
+    a_multi = tiff_io.read_tiff(
+        str(tmp_path / "out_multi" / os.path.basename(single_path))
+    )
+    assert a_multi.shape == a_single.shape
+    diff = np.abs(a_multi.astype(np.int64) - a_single.astype(np.int64))
+    assert diff.mean() < 1.0 and diff.max() <= 8, (diff.mean(), diff.max())
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
