@@ -1080,6 +1080,22 @@ def remap_const_stitch_chunked(
             return stitched, prestt
         return stitched
 
+    if _FUSED_REMAP_PALLAS and width % col_matrix.shape[2] == 0:
+        # fused tail: RRC + column matmul + 4-tap vertical in ONE Pallas
+        # kernel for the PAN2 side; PAN1's RRC is a single elementwise
+        # XLA pass feeding the concat directly
+        prestt = _stitch_prestt_fused_pallas(
+            pan2_padded, pan2_params, col_matrix, iy0, jnp.stack(wys),
+            rows, halo, interpret=_FUSED_REMAP_INTERPRET,
+        )
+        p1c = rrc_block(pan1[:rows], pan1_params)
+        stitched = jnp.concatenate(
+            [p1c[:, : width - fold], prestt[:, fold:]], axis=1
+        )
+        if want_prestt:
+            return stitched, prestt
+        return stitched
+
     out = jax.lax.map(one, jnp.arange(n_chunks))
     if want_prestt:
         stitched, prestt = out
@@ -1088,6 +1104,115 @@ def remap_const_stitch_chunked(
             prestt.reshape(n_chunks * chunk_rows, width)[:rows],
         )
     return out.reshape(n_chunks * chunk_rows, -1)[:rows]
+
+
+def _stitch_prestt_fused_pallas(
+    pan2_padded: jax.Array,
+    pan2_params: jax.Array,
+    col_matrix: jax.Array,
+    iy0: jax.Array,
+    wys: jax.Array,
+    rows: int,
+    halo: int,
+    tile_rows: int = FUSED_TILE_ROWS,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused RRC + constant-shift prestitch remap as one Pallas kernel.
+
+    Per grid step: DMA one (TR + 3, B + 2H) uint16 window of the raw
+    PAN2 strip (row offset includes the TRACED integer shift ``iy0``,
+    read from SMEM), apply the byte-exact RRC in VMEM with rows outside
+    the strip masked to 0 post-RRC (reference BORDER_CONSTANT), run the
+    banded column matmul on the MXU and the 4 vertical taps (traced
+    fraction weights ``wys`` from SMEM), write one uint16 tile.  HBM
+    traffic ~1 read + 1 write of the strip vs the staged path's
+    materialised corrected/column-interp intermediates.
+
+    ``pan2_padded``: (rows + 2*halo (+chunk fill), W) uint16, ``halo``
+    context rows above row 0 (zeros at the strip border); the column pad
+    is applied here.  Callers guarantee |iy0| <= halo - 3.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .rrc import _rrc_math
+
+    f32 = jnp.float32
+    width = pan2_padded.shape[1]
+    n_blocks, bh, block = col_matrix.shape
+    chalo = (bh - block) // 2
+    TR = min(tile_rows, rows)
+    n_row_t = -(-rows // TR)
+    WIN_R = TR + 3
+    WIN_C = block + 2 * chalo
+    # rows needed: window max = (n_row_t-1)*TR + halo + iy0 - 1 + WIN_R
+    # <= n_row_t*TR + 2*halo (|iy0| <= halo - 3)
+    need_rows = n_row_t * TR + 2 * halo
+    fill = need_rows - pan2_padded.shape[0]
+    src2 = jnp.pad(pan2_padded, ((0, max(fill, 0)), (chalo, chalo)))
+    # per-block parameter slices over the column-padded axis
+    params_pad = jnp.pad(pan2_params, ((0, 0), (chalo, chalo)))
+    params_blocks = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(params_pad, j * block, WIN_C, 1)
+            for j in range(n_blocks)
+        ]
+    )                                              # (nB, 6, B+2H)
+    iy0_s = jnp.asarray(iy0, jnp.int32).reshape(1)
+    wys_s = jnp.asarray(wys, f32).reshape(4)
+
+    def kernel(iy_ref, wy_ref, src_hbm, mat, prm, out, win, sem):
+        j = pl.program_id(0)   # column block (slow: mat/params cached)
+        i = pl.program_id(1)   # row tile
+        start = i * TR + halo - 1 + iy_ref[0]
+        cp = pltpu.make_async_copy(
+            src_hbm.at[pl.ds(start, WIN_R), pl.ds(j * block, WIN_C)],
+            win,
+            sem,
+        )
+        cp.start()
+        cp.wait()
+        p2c = _rrc_math(
+            win[...].astype(jnp.int32),
+            *[prm[0, k][None, :] for k in range(6)],
+        ).astype(f32)
+        # rows outside the strip read 0 POST-RRC (border semantics):
+        # window row r holds global strip row start - halo + r
+        g = (
+            jax.lax.broadcasted_iota(jnp.int32, (WIN_R, 1), 0)
+            + (start - halo)
+        )
+        p2c = jnp.where((g >= 0) & (g < rows), p2c, f32(0))
+        colg = jax.lax.dot_general(
+            p2c,
+            mat[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )                                           # (WIN_R, B)
+        acc = jnp.zeros((TR, block), f32)
+        for a in range(4):
+            acc = acc + colg[a : a + TR] * wy_ref[a]
+        out[...] = jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_row_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, bh, block), lambda j, i: (j, 0, 0)),
+            pl.BlockSpec((1, 6, WIN_C), lambda j, i: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TR, block), lambda j, i: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((n_row_t * TR, width), jnp.uint16),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_R, WIN_C), jnp.uint16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(iy0_s, wys_s, src2, col_matrix, params_blocks)
+    return out[:rows]
 
 
 def remap_polynomial_u16(

@@ -227,3 +227,43 @@ def test_fused_remap_pallas_oracle_envelope(rng):
         resample.set_fused_remap_pallas(False)
     diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1, f"max {diff.max()}"
+
+
+def test_fused_stitch_tail_pallas_matches_staged(rng):
+    """The fused RRC + prestitch-remap + concat Pallas tail (traced
+    iy0/weights from SMEM, strip-border masking in-kernel) is
+    bit-identical to the staged chunked path in interpret mode, across
+    positive/negative/zero dy."""
+    import jax.numpy as jnp
+
+    from opticalimageprocessor_tpu.ops import resample, rrc
+
+    rows, width, fold = 700, 1536, 100
+    pan1 = jnp.asarray(rng.integers(0, 65535, (rows, width), np.uint16))
+    pan2 = jnp.asarray(rng.integers(0, 65535, (rows, width), np.uint16))
+    p1 = jnp.asarray(
+        rrc.split_rrc_params(
+            0.98 + 0.04 * rng.random(width), rng.normal(0, 20, width)
+        )
+    )
+    p2 = jnp.asarray(
+        rrc.split_rrc_params(
+            0.98 + 0.04 * rng.random(width), rng.normal(0, 20, width)
+        )
+    )
+    for dx, dy in ((-3.2, 2.4), (1.7, -2.9), (0.0, 0.0)):
+        args = (
+            pan1, pan2, p1, p2, jnp.float32(dx), jnp.float32(dy), fold
+        )
+        kw = dict(
+            chunk_rows=256, row_bound=8, col_block=128, col_halo=16,
+            want_prestt=True,
+        )
+        want, want_p = resample.remap_const_stitch_chunked(*args, **kw)
+        try:
+            resample.set_fused_remap_pallas(True, interpret=True)
+            got, got_p = resample.remap_const_stitch_chunked(*args, **kw)
+        finally:
+            resample.set_fused_remap_pallas(False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))

@@ -178,6 +178,24 @@ def main(args):
         mn, md = timeit(f, (pan1, pan2), args.n)
         print(f"stitch: chunk={chunk} min={mn:.1f} med={md:.1f} ms")
 
+    # -- stitch tail with the FUSED Pallas prestt kernel (TPU only) -------
+    if jax.default_backend() != "tpu":
+        print("stitch FUSED-pallas: skipped (needs TPU)")
+    else:
+        try:
+            resample.set_fused_remap_pallas(True)
+            f = jax.jit(
+                lambda a, b, dx=dx, dy=dy:
+                resample.remap_const_stitch_chunked(
+                    a, b, p1, p1, dx, dy, 200, chunk_rows=512,
+                    row_bound=8, col_block=128, col_halo=16,
+                )
+            )
+            mn, md = timeit(f, (pan1, pan2), args.n)
+            print(f"stitch FUSED-pallas: min={mn:.1f} med={md:.1f} ms")
+        finally:
+            resample.set_fused_remap_pallas(False)
+
 
 def register_scaling(lines, n):
     """Attribute the register stage: does time scale linearly with the
