@@ -27,8 +27,10 @@ import time
 import numpy as np
 
 
-def _emit(value, error: str | None = None) -> None:
-    """The ONE JSON line the driver parses."""
+def _emit(value, error: str | None = None, **extra) -> None:
+    """The ONE JSON line the driver parses.  ``extra`` records run-mode
+    qualifiers (e.g. lines, synth) so differently-configured runs are
+    not read as directly comparable numbers."""
     out = {
         "metric": "e2e RRC+register+resample+stitch throughput",
         "value": value,
@@ -37,6 +39,7 @@ def _emit(value, error: str | None = None) -> None:
     }
     if error:
         out["error"] = error
+    out.update(extra)
     print(json.dumps(out), flush=True)
 
 
@@ -339,7 +342,14 @@ def run_bench(plat: str | None) -> None:
         + MSS_BANDS * lines_mss * PIXELS_PER_MSSBAND  # MSS
     )
     gpix = px / dt / 1e9
-    _emit(round(gpix, 3))
+    extra = {"lines": lines_pan, "timing": mode}
+    if synth_on_device:
+        # the timed step also synthesises its inputs on-device (the
+        # host can't materialise a >HBM scene through the tunnel), so
+        # this number under-reports the pipeline-only throughput and is
+        # not directly comparable to materialized-input rows
+        extra["synth"] = True
+    _emit(round(gpix, 3), **extra)
 
 
 if __name__ == "__main__":

@@ -435,13 +435,20 @@ def _enable_compile_cache() -> None:
         plat = os.environ.get("OIP_JAX_PLATFORM")
         if plat:
             jax.config.update("jax_platforms", plat)
+    except Exception:  # noqa: BLE001 — platform knob is best-effort
+        pass
 
-        # multi-host (DCN) launch: when the OIP_DIST_* env is present,
-        # join the cross-process coordination service before the first
-        # backend use so jax.devices() spans every host's chips
-        from .parallel.distributed import maybe_initialize_distributed
+    # multi-host (DCN) launch: when the OIP_DIST_* env is present, join
+    # the cross-process coordination service before the first backend use
+    # so jax.devices() spans every host's chips.  NOT inside a blanket
+    # except: a misconfigured launch must fail loudly here, or N processes
+    # would each run single-process and race on the shared output files.
+    from .parallel.distributed import maybe_initialize_distributed
 
-        maybe_initialize_distributed()
+    maybe_initialize_distributed()
+
+    try:
+        import jax
 
         cache = os.environ.get(
             "OIP_JAX_CACHE",

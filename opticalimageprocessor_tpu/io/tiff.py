@@ -50,6 +50,22 @@ COMPRESSION_ADOBE_DEFLATE = 32946  # zlib (legacy codepoint, same stream)
 COMPRESSION_PACKBITS = 32773
 
 
+def auto_bigtiff(width: int, height: int, samples: int = 1) -> bool:
+    """The writer's automatic BigTIFF decision for a uint16 raster: the
+    projected raster size is within 16 MiB of the 4 GiB classic-TIFF
+    offset ceiling.  Single source of truth — the multi-host drain
+    (parallel/distributed.py) must project the same layout on processes
+    that never open the shell."""
+    return width * height * samples * 2 >= (1 << 32) - (1 << 24)
+
+
+def tiff_data_start(width: int, height: int, samples: int = 1) -> int:
+    """Byte offset of raster row 0 in an uncompressed shell made by
+    ``create_tiff_shell`` under the auto BigTIFF decision: only the
+    8-byte classic / 16-byte BigTIFF header precedes the raster."""
+    return 16 if auto_bigtiff(width, height, samples) else 8
+
+
 def _predict2_encode(strip: np.ndarray) -> np.ndarray:
     """Horizontal differencing (predictor 2) on a (rows, w, spp) uint16 view."""
     out = strip.astype(np.int32)
@@ -115,8 +131,10 @@ class TiffStripWriter:
             olog("native LZW unavailable; writing uncompressed TIFF")
             self.comp = COMPRESSION_NONE
         self.predictor = predictor and self.comp == COMPRESSION_LZW
-        projected = width * height * samples * 2
-        self.bigtiff = bool(bigtiff) if bigtiff is not None else projected >= (1 << 32) - (1 << 24)
+        self.bigtiff = (
+            bool(bigtiff) if bigtiff is not None
+            else auto_bigtiff(width, height, samples)
+        )
         self.photometric = photometric if photometric is not None else (
             2 if samples >= 3 else 1
         )

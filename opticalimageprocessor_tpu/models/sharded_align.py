@@ -31,7 +31,6 @@ from ..constants import (
 from ..formats.naming import build_output_file_path
 from ..formats.rrc_csv import load_split_params
 from ..io import raw as raw_io
-from ..io import tiff as tiff_io
 from ..parallel.mesh import LINE_AXIS, line_mesh
 from ..parallel.sharded import make_align_step
 from ..utils.logging import olog, stage
@@ -154,29 +153,15 @@ def run_sharded_align(
             pan_file, RRC_STEM_EXT, TIFF_FILE_EXT, out_dir=out_dir
         )
         with stage("write_rrcpan", (pan.lines - line_offset) * pixels_per_line * 2):
-            if multi_host:
-                # per-host row-offset writes into one shared file
-                from ..parallel.distributed import drain_line_sharded_to_tiff
+            # one drain for both launch modes: single-process callers get
+            # the same offset-write flow without barriers, byte-identical
+            # to the sequential TiffStripWriter (test_tiff_foreign.py
+            # shell byte-equality test)
+            from ..parallel.distributed import drain_line_sharded_to_tiff
 
-                drain_line_sharded_to_tiff(
-                    pan_c, rrc_path, total=pan.lines, row0=line_offset
-                )
-            else:
-                w = tiff_io.TiffStripWriter(
-                    rrc_path, pixels_per_line, pan.lines - line_offset,
-                    samples=1,
-                )
-                for sh in sorted(
-                    pan_c.addressable_shards,
-                    key=lambda s: s.index[0].start or 0,
-                ):
-                    a = sh.index[0].start or 0
-                    b = min(sh.index[0].stop or pan.lines, pan.lines)
-                    lo = max(a, line_offset)
-                    if lo >= b:
-                        continue
-                    w.write_rows(np.asarray(sh.data)[lo - a : b - a])
-                w.close()
+            drain_line_sharded_to_tiff(
+                pan_c, rrc_path, total=pan.lines, row0=line_offset
+            )
         olog("RRC'ed PAN written to %s", rrc_path)
     for b in range(MSS_BANDS):
         olog(
@@ -206,30 +191,11 @@ def run_sharded_align(
     )
     order = [2, 1, 0, 3] if bgr_tiff_order else [0, 1, 2, 3]
     with stage("write_aligned", out_rows * band_px * MSS_BANDS * 2):
-        if multi_host:
-            from ..parallel.distributed import drain_line_sharded_to_tiff
+        # single drain for both launch modes (see write_rrcpan above)
+        from ..parallel.distributed import drain_line_sharded_to_tiff
 
-            drain_line_sharded_to_tiff(
-                aligned, path, total=total_rows, row0=start, order=order
-            )
-        else:
-            writer = tiff_io.TiffStripWriter(
-                path, band_px, out_rows, samples=MSS_BANDS
-            )
-            # drain shard-by-shard in line order: each addressable shard
-            # covers a contiguous row block under the 'line' sharding
-            shards = sorted(
-                aligned.addressable_shards,
-                key=lambda s: s.index[0].start or 0,
-            )
-            for sh in shards:
-                a = sh.index[0].start or 0
-                b = min(sh.index[0].stop or total_rows, total_rows)
-                lo = max(a, start)
-                if lo >= b:
-                    continue
-                block = np.asarray(sh.data)[lo - a : b - a]
-                writer.write_rows(block[:, :, order])
-            writer.close()
+        drain_line_sharded_to_tiff(
+            aligned, path, total=total_rows, row0=start, order=order
+        )
     olog("Aligned MSS written to %s", path)
     return path

@@ -815,7 +815,7 @@ def _remap_fused_pallas(
         kernel,
         grid=(n_blocks, n_row_t),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, bh, block), lambda j, i: (j, 0, 0)),
             pl.BlockSpec((1, U, block), lambda j, i: (j, 0, 0)),
         ],
@@ -1200,7 +1200,7 @@ def _stitch_prestt_fused_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, bh, block), lambda j, i: (j, 0, 0)),
             pl.BlockSpec((1, 6, WIN_C), lambda j, i: (j, 0, 0)),
         ],

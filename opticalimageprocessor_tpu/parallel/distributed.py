@@ -178,7 +178,7 @@ def drain_line_sharded_to_tiff(
     import jax
     import numpy as np
 
-    from ..io.tiff import create_tiff_shell
+    from ..io.tiff import create_tiff_shell, tiff_data_start
 
     if total is None:
         total = arr.shape[0]
@@ -193,10 +193,12 @@ def drain_line_sharded_to_tiff(
             rows_per_strip=rows_per_strip, photometric=photometric,
             extrasamples=extrasamples,
         )
+        # non-primaries project this offset without opening the shell —
+        # the projection and the writer must agree byte-for-byte
+        assert data_start == tiff_data_start(width, height, samples)
     else:
         # deterministic: the header is the only thing before the raster
-        projected = width * height * samples * 2
-        data_start = 16 if projected >= (1 << 32) - (1 << 24) else 8
+        data_start = tiff_data_start(width, height, samples)
     if multi:
         barrier("tiff-create:" + path)
     with open(path, "r+b") as f:

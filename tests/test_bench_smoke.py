@@ -21,5 +21,10 @@ def test_bench_cpu_smoke():
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
     rec = json.loads(line)
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert rec["value"] > 0
+    # run-mode qualifiers: a materialized-input CPU smoke run must label
+    # its timing mode and must NOT be marked as on-device synthesis
+    assert rec["timing"] in ("pipelined", "serialized")
+    assert rec["lines"] > 0
+    assert "synth" not in rec

@@ -797,3 +797,36 @@ def test_mesh_routes_handle_uneven_strip_lengths(rng, tmp_path):
     assert (
         _os.path.getsize(prestt_path) == lines_pan * width * 2
     )
+
+
+def test_cli_fails_loudly_on_misconfigured_distributed_env():
+    """A partial OIP_DIST_* env must abort the CLI before any work runs.
+
+    Regression: maybe_initialize_distributed() used to be called inside
+    _enable_compile_cache's best-effort except, so a misconfigured
+    multi-host launch silently fell back to N independent single-process
+    runs racing on the same output files (cli.py)."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    env["OIP_DIST_COORD"] = "127.0.0.1:1"
+    env.pop("OIP_DIST_NPROCS", None)
+    env.pop("OIP_DIST_PROCID", None)
+    env["OIP_JAX_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+    res = subprocess.run(
+        [
+            _sys.executable,
+            "-c",
+            "import sys\n"
+            "from opticalimageprocessor_tpu.cli import main\n"
+            "sys.exit(main(['--help']))",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert res.returncode != 0
+    assert "OIP_DIST_NPROCS" in (res.stderr + res.stdout)

@@ -234,3 +234,30 @@ def test_stitch_cv2_written_pair(tmp_path, rng):
     np.testing.assert_array_equal(
         got[:, w - fold :], right[:, fold:][..., [2, 1, 0, 3]]
     )
+
+
+def test_shell_drain_byte_identical_to_sequential_writer(tmp_path, rng):
+    """create_tiff_shell + seek-writes must produce the exact bytes of the
+    sequential TiffStripWriter: the sharded align drains route single- and
+    multi-host runs through the shell path, and the sharded-vs-single
+    byte-equality gates depend on the layouts agreeing."""
+    from opticalimageprocessor_tpu.io.tiff import (
+        TiffStripWriter,
+        create_tiff_shell,
+        tiff_data_start,
+    )
+
+    for h, w, s in [(1037, 223, 4), (64, 31, 1)]:
+        arr = rng.integers(0, 65535, (h, w, s), dtype=np.uint16)
+        a_path = str(tmp_path / f"seq_{s}.tif")
+        b_path = str(tmp_path / f"shell_{s}.tif")
+        wtr = TiffStripWriter(a_path, w, h, samples=s)
+        wtr.write_rows(arr)
+        wtr.close()
+        ds = create_tiff_shell(b_path, w, h, s)
+        assert ds == tiff_data_start(w, h, s)
+        with open(b_path, "r+b") as f:
+            f.seek(ds)
+            f.write(np.ascontiguousarray(arr, "<u2").tobytes())
+        with open(a_path, "rb") as fa, open(b_path, "rb") as fb:
+            assert fa.read() == fb.read()
