@@ -159,9 +159,27 @@ def windowed_crosspower_fused_tiles(
     factor = M // m_small
     assert factor * m_small == M
 
+    # ky-block height: largest 8-multiple divisor of m_small whose per-step
+    # VMEM footprint fits.  The dominant VMEM terms scale with
+    # blk * (keep + n_small) (double-buffered input blocks + the ~6 live
+    # (blk, keep) temps inside the kernel); the budget constant is
+    # calibrated on hardware: blk=400 at the default registration shape
+    # (keep=615, n_small=308) compiles with headroom, while blk=400 at the
+    # slices=5 shape (keep=1229) exceeded the 16 MB scoped-VMEM limit by
+    # 2.5 MB (measured v5e failure) — so cap blk * (keep + n_small) at the
+    # known-good product and the wide-tile configs land on blk<=200.
+    vmem_cap = 400 * (615 + 308)
     blk = max(
-        (d for d in range(8, 513, 8) if m_small % d == 0), default=None
+        (
+            d for d in range(8, 513, 8)
+            if m_small % d == 0 and d * (keep + n_small) <= vmem_cap
+        ),
+        default=None,
     )
+    if blk is None:
+        blk = min(
+            (d for d in range(8, 513, 8) if m_small % d == 0), default=None
+        )
     if blk is None:
         raise ValueError(f"band tile height {m_small} not 8-divisible")
     n_blocks = M // blk

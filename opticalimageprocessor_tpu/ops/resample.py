@@ -675,14 +675,24 @@ def _fast_row_pass_pallas(
     total, width = padded.shape
     assert total == rows + U - 1, (total, rows, U)
     # one column stripe per grid step, all rows VMEM-resident: the buffer
-    # is read ONCE and the output written once (chunked callers keep
-    # rows <= ~4K, so a stripe is ~2 x 8 MB f32 at TC=512 worst case)
-    if width % 128 or (total + rows) * 512 * 4 > 12 << 20:
+    # is read ONCE and the output written once.  Per-column VMEM cost is
+    # ~4 * (2*total + 3*rows) bytes (double-buffered input and output
+    # stripes + the f32 accumulator); pick the widest TC that fits a
+    # ~10 MB budget — the old flat (total+rows)*TC*4 guard ignored
+    # double-buffering and OOM'd scoped VMEM at chunk_rows=2048 on v5e.
+    col_bytes = 4 * (2 * total + 3 * rows)
+    TC = next(
+        (
+            c for c in (512, 256, 128)
+            if width % c == 0 and c * col_bytes <= 10 << 20
+        ),
+        None,
+    )
+    if width <= 512 and width % 128 == 0 and width * col_bytes <= 10 << 20:
+        TC = width
+    if TC is None:
         # exotic widths / unchunked-huge rows: XLA path handles them
         return _fast_row_pass_from_cu(padded, cu, rows)
-    TC = width if width <= 512 else next(
-        c for c in (512, 256, 128) if width % c == 0
-    )
 
     def kernel(p, w, out):
         acc = jnp.zeros((rows, TC), f32)

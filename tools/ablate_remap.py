@@ -30,6 +30,16 @@ from common import ensure_platform, timeit  # noqa: E402
 ensure_platform()
 
 
+def _guarded(label: str, fn):
+    """Time one entry; a compile/runtime failure (e.g. a VMEM OOM on some
+    config) reports and moves on instead of killing the whole sweep (the
+    2026-08-18 session lost the fused-kernel A/Bs to one bad config)."""
+    try:
+        fn()
+    except Exception as exc:  # noqa: BLE001 — survey tool, keep sweeping
+        print(f"{label}: FAILED {type(exc).__name__}: {str(exc)[:160]}")
+
+
 def main(args):
 
     import jax
@@ -79,9 +89,13 @@ def main(args):
                     )
                     for i in range(MSS_BANDS)
                 ], axis=-1))
-            mn, md = timeit(f, (mss4,), args.n)
-            print(f"band x4: row_bound={rb} chunk={chunk} "
-                  f"min={mn:.1f} med={md:.1f} ms")
+            _guarded(
+                f"band x4: row_bound={rb} chunk={chunk}",
+                lambda f=f, rb=rb, chunk=chunk: print(
+                    "band x4: row_bound=%d chunk=%d min=%.1f med=%.1f ms"
+                    % (rb, chunk, *timeit(f, (mss4,), args.n))
+                ),
+            )
 
     # -- band remap with the opt-in Pallas vertical pass (TPU only) -------
     if jax.default_backend() != "tpu":
@@ -98,9 +112,13 @@ def main(args):
                         )
                         for i in range(MSS_BANDS)
                     ], axis=-1))
-                mn, md = timeit(f, (mss4,), args.n)
-                print(f"band x4 PALLAS-rowpass: chunk={chunk} "
-                      f"min={mn:.1f} med={md:.1f} ms")
+                _guarded(
+                    f"band x4 PALLAS-rowpass: chunk={chunk}",
+                    lambda f=f, chunk=chunk: print(
+                        "band x4 PALLAS-rowpass: chunk=%d min=%.1f "
+                        "med=%.1f ms" % (chunk, *timeit(f, (mss4,), args.n))
+                    ),
+                )
         finally:
             resample.set_row_pass_pallas(False)
 
@@ -125,9 +143,13 @@ def main(args):
                 ]
                 return jnp.stack(outs, axis=-1)
 
-            mn, md = timeit(jax.jit(fused_fn), (mss4,), args.n)
-            print(f"band x4 FUSED-pallas: tile_rows={tr} "
-                  f"min={mn:.1f} med={md:.1f} ms")
+            _guarded(
+                f"band x4 FUSED-pallas: tile_rows={tr}",
+                lambda fn=fused_fn, tr=tr: print(
+                    "band x4 FUSED-pallas: tile_rows=%d min=%.1f med=%.1f ms"
+                    % (tr, *timeit(jax.jit(fn), (mss4,), args.n))
+                ),
+            )
 
     # -- column matmul only (one band) ------------------------------------
     cm = resample._col_interp_matrix(cx, PIXELS_PER_MSSBAND, 128, 16)
@@ -141,8 +163,13 @@ def main(args):
         out = jax.lax.map(one, jnp.arange(n_chunks))
         return jnp.clip(jnp.rint(out), 0, 65535).astype(jnp.uint16)
 
-    mn, md = timeit(jax.jit(col_only), (band,), args.n)
-    print(f"bandcol x1: chunk=512 min={mn:.1f} med={md:.1f} ms")
+    _guarded(
+        "bandcol x1",
+        lambda: print(
+            "bandcol x1: chunk=512 min=%.1f med=%.1f ms"
+            % timeit(jax.jit(col_only), (band,), args.n)
+        ),
+    )
 
     # -- vertical MAC pass only (one band) ---------------------------------
     for rb in (1, 3, 6):
@@ -163,8 +190,13 @@ def main(args):
             n_chunks = lines_mss // ck
             return jax.lax.map(one, jnp.arange(n_chunks))
 
-        mn, md = timeit(jax.jit(row_only), (band,), args.n)
-        print(f"bandrow x1: row_bound={rb} min={mn:.1f} med={md:.1f} ms")
+        _guarded(
+            f"bandrow x1: row_bound={rb}",
+            lambda rb=rb, row_only=row_only: print(
+                "bandrow x1: row_bound=%d min=%.1f med=%.1f ms"
+                % (rb, *timeit(jax.jit(row_only), (band,), args.n))
+            ),
+        )
 
     # -- fused stitch tail --------------------------------------------------
     for chunk in (512, 2048):
@@ -175,8 +207,13 @@ def main(args):
                 row_bound=8, col_block=128, col_halo=16,
             )
         )
-        mn, md = timeit(f, (pan1, pan2), args.n)
-        print(f"stitch: chunk={chunk} min={mn:.1f} med={md:.1f} ms")
+        _guarded(
+            f"stitch: chunk={chunk}",
+            lambda f=f, chunk=chunk: print(
+                "stitch: chunk=%d min=%.1f med=%.1f ms"
+                % (chunk, *timeit(f, (pan1, pan2), args.n))
+            ),
+        )
 
     # -- stitch tail with the FUSED Pallas prestt kernel (TPU only) -------
     if jax.default_backend() != "tpu":
@@ -191,8 +228,13 @@ def main(args):
                     row_bound=8, col_block=128, col_halo=16,
                 )
             )
-            mn, md = timeit(f, (pan1, pan2), args.n)
-            print(f"stitch FUSED-pallas: min={mn:.1f} med={md:.1f} ms")
+            _guarded(
+                "stitch FUSED-pallas",
+                lambda f=f: print(
+                    "stitch FUSED-pallas: min=%.1f med=%.1f ms"
+                    % timeit(f, (pan1, pan2), args.n)
+                ),
+            )
         finally:
             resample.set_fused_remap_pallas(False)
 
@@ -231,9 +273,14 @@ def register_scaling(lines, n):
                 p, m, slices=s, n_sections=ns
             )[1]
         )
-        mn, md = timeit(f, (pan, mss), n)
-        print(f"register: slices={slices} sections={nsec} "
-              f"({slices * nsec} tiles) min={mn:.1f} med={md:.1f} ms")
+        _guarded(
+            f"register: slices={slices} sections={nsec}",
+            lambda f=f, slices=slices, nsec=nsec: print(
+                "register: slices=%d sections=%d (%d tiles) min=%.1f "
+                "med=%.1f ms"
+                % (slices, nsec, slices * nsec, *timeit(f, (pan, mss), n))
+            ),
+        )
 
     # lone PAN-tile forward rfft2 at the default tile shape
     corr_rows, cols = 16000, PIXELS_PER_LINE // 10
