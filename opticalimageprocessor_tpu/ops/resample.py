@@ -785,58 +785,82 @@ def _remap_fused_pallas(
     U = 2 * row_bound + 4
     n_blocks, bh, block = col_matrix.shape
     halo = (bh - block) // 2
+    if U > 16:
+        raise ValueError(
+            f"row_bound {row_bound} needs {U} tap rows; the 8-aligned "
+            "window fetch covers <= 16 (row_bound <= 6)"
+        )
     cu = _row_pass_coeffs(g, width, row_bound)          # (U, W)
     cu_blocks = jnp.transpose(
         cu.reshape(U, n_blocks, block), (1, 0, 2)
     )                                                    # (nB, U, B)
 
-    TR = min(tile_rows, rows)
+    TR = max(8, min(tile_rows, rows) // 8 * 8)
     n_row_t = -(-rows // TR)
-    need_rows = n_row_t * TR + U
-    fill = need_rows - padded.shape[0]
+    # Mosaic requires manually-DMA'd window slices aligned to the
+    # (8, 128) tiling in BOTH shape and start (measured v5e compile
+    # failures at (TR+U-1, block+2*halo)): fetch row-tile-aligned
+    # (TR + 16, WIN_CP) windows instead — starts (i*TR, j*block) are
+    # aligned by construction, the first tap row sits at offset 1, and
+    # the column matrix is zero-padded so the over-fetched lanes fall
+    # out of the matmul.
+    WIN_R = TR + 16
+    WIN_CP = -(-(block + 2 * halo) // 128) * 128
+    need_rows = n_row_t * TR + 16
+    need_cols = (n_blocks - 1) * block + WIN_CP
     src2 = jnp.pad(
-        padded, ((0, max(fill, 0)), (halo, halo))
+        padded,
+        (
+            (0, max(need_rows - padded.shape[0], 0)),
+            (halo, need_cols - width - halo),
+        ),
     )
-    WIN_R = TR + U - 1
-    WIN_C = block + 2 * halo
+    mat_pad = jnp.pad(col_matrix, ((0, 0), (0, WIN_CP - bh), (0, 0)))
 
     def kernel(src_hbm, mat, cub, out, win, sem):
         j = pl.program_id(0)   # column block (slow axis: mat/cu cached)
         i = pl.program_id(1)   # row tile (fast axis: walks down a stripe)
         cp = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(i * TR + 1, WIN_R), pl.ds(j * block, WIN_C)],
+            src_hbm.at[pl.ds(i * TR, WIN_R), pl.ds(j * block, WIN_CP)],
             win,
             sem,
         )
         cp.start()
         cp.wait()
         colg = jax.lax.dot_general(
-            win[...].astype(f32),
+            # Mosaic has no direct u16<->f32 casts (measured v5e compile
+            # failure); route through i32 — exact for 16-bit values
+            win[...].astype(jnp.int32).astype(f32),
             mat[0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,  # match _col_interp_apply
         )                                               # (WIN_R, B)
         acc = jnp.zeros((TR, block), f32)
         for v in range(U):
-            acc = acc + colg[v : v + TR] * cub[0, v][None, :]
-        out[...] = jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
+            acc = acc + colg[v + 1 : v + 1 + TR] * cub[0, v][None, :]
+        out[...] = (
+            jnp.clip(jnp.rint(acc), 0.0, 65535.0)
+            .astype(jnp.int32)
+            .astype(jnp.uint16)
+        )
 
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_row_t),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, bh, block), lambda j, i: (j, 0, 0)),
+            pl.BlockSpec((1, WIN_CP, block), lambda j, i: (j, 0, 0)),
             pl.BlockSpec((1, U, block), lambda j, i: (j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((TR, block), lambda j, i: (i, j)),
         out_shape=jax.ShapeDtypeStruct((n_row_t * TR, width), jnp.uint16),
         scratch_shapes=[
-            pltpu.VMEM((WIN_R, WIN_C), jnp.uint16),
+            pltpu.VMEM((WIN_R, WIN_CP), jnp.uint16),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(src2, col_matrix, cu_blocks)
+    )(src2, mat_pad, cu_blocks)
     return out[:rows]
 
 
@@ -1151,32 +1175,47 @@ def _stitch_prestt_fused_pallas(
     width = pan2_padded.shape[1]
     n_blocks, bh, block = col_matrix.shape
     chalo = (bh - block) // 2
-    TR = min(tile_rows, rows)
+    TR = max(8, min(tile_rows, rows) // 8 * 8)
     n_row_t = -(-rows // TR)
-    WIN_R = TR + 3
-    WIN_C = block + 2 * chalo
-    # rows needed: window max = (n_row_t-1)*TR + halo + iy0 - 1 + WIN_R
-    # <= n_row_t*TR + 2*halo (|iy0| <= halo - 3)
-    need_rows = n_row_t * TR + 2 * halo
-    fill = need_rows - pan2_padded.shape[0]
-    src2 = jnp.pad(pan2_padded, ((0, max(fill, 0)), (chalo, chalo)))
+    # Mosaic requires manually-DMA'd window slices aligned to the (8, 128)
+    # tiling in shape and start, and the row start here would carry the
+    # TRACED shift iy0 — so fetch a statically-aligned (TR + pad_r, WIN_CP)
+    # window from (i*TR, j*block) instead and apply the traced offset with
+    # an in-VMEM dynamic slice.  pad_r covers the full supported shift
+    # range (|iy0| <= halo - 3: needed window rows are 2 .. TR+2*halo-2
+    # relative to i*TR); the over-fetched lanes fall out of the matmul via
+    # the zero-padded column matrix.
+    pad_r = -(-(2 * halo) // 8) * 8
+    WIN_R = TR + pad_r
+    WIN_CP = -(-(block + 2 * chalo) // 128) * 128
+    need_rows = n_row_t * TR + pad_r
+    need_cols = (n_blocks - 1) * block + WIN_CP
+    src2 = jnp.pad(
+        pan2_padded,
+        (
+            (0, max(need_rows - pan2_padded.shape[0], 0)),
+            (chalo, need_cols - width - chalo),
+        ),
+    )
+    mat_pad = jnp.pad(col_matrix, ((0, 0), (0, WIN_CP - bh), (0, 0)))
     # per-block parameter slices over the column-padded axis
-    params_pad = jnp.pad(pan2_params, ((0, 0), (chalo, chalo)))
+    params_pad = jnp.pad(
+        pan2_params, ((0, 0), (chalo, need_cols - width - chalo))
+    )
     params_blocks = jnp.stack(
         [
-            jax.lax.dynamic_slice_in_dim(params_pad, j * block, WIN_C, 1)
+            jax.lax.dynamic_slice_in_dim(params_pad, j * block, WIN_CP, 1)
             for j in range(n_blocks)
         ]
-    )                                              # (nB, 6, B+2H)
+    )                                              # (nB, 6, WIN_CP)
     iy0_s = jnp.asarray(iy0, jnp.int32).reshape(1)
     wys_s = jnp.asarray(wys, f32).reshape(4)
 
     def kernel(iy_ref, wy_ref, src_hbm, mat, prm, out, win, sem):
         j = pl.program_id(0)   # column block (slow: mat/params cached)
         i = pl.program_id(1)   # row tile
-        start = i * TR + halo - 1 + iy_ref[0]
         cp = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(start, WIN_R), pl.ds(j * block, WIN_C)],
+            src_hbm.at[pl.ds(i * TR, WIN_R), pl.ds(j * block, WIN_CP)],
             win,
             sem,
         )
@@ -1187,10 +1226,10 @@ def _stitch_prestt_fused_pallas(
             *[prm[0, k][None, :] for k in range(6)],
         ).astype(f32)
         # rows outside the strip read 0 POST-RRC (border semantics):
-        # window row r holds global strip row start - halo + r
+        # window row r holds global strip row i*TR + r - halo
         g = (
             jax.lax.broadcasted_iota(jnp.int32, (WIN_R, 1), 0)
-            + (start - halo)
+            + (i * TR - halo)
         )
         p2c = jnp.where((g >= 0) & (g < rows), p2c, f32(0))
         colg = jax.lax.dot_general(
@@ -1198,11 +1237,32 @@ def _stitch_prestt_fused_pallas(
             mat[0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,  # match _col_interp_apply
         )                                           # (WIN_R, B)
+        # traced shift: output row y taps colg rows y + off .. y + off + 3
+        # with off = halo - 1 + iy0 (in 2 .. 2*halo - 4).  Mosaic has no
+        # dynamic_slice lowering; rotate rows up by off instead (the
+        # wrapped bottom rows land past row TR + 3 because
+        # off <= pad_r - 4, so the kept slice never sees them).  The shift
+        # is passed as the POSITIVE equivalent WIN_R - off: Mosaic's
+        # dynamic rotate mis-lowers negative amounts (measured on v5e:
+        # roll(-3) on 88 rows acts like roll(-43)), positive amounts are
+        # correct at every size probed.
+        shift = WIN_R - (halo - 1 + iy_ref[0])
+        if interpret:
+            taps = jnp.roll(colg, shift, axis=0)
+        else:
+            taps = pltpu.roll(colg, shift, 0)
         acc = jnp.zeros((TR, block), f32)
         for a in range(4):
-            acc = acc + colg[a : a + TR] * wy_ref[a]
-        out[...] = jnp.clip(jnp.rint(acc), 0.0, 65535.0).astype(jnp.uint16)
+            acc = acc + taps[a : a + TR] * wy_ref[a]
+        # f32 -> u16 via i32: Mosaic lacks the direct cast (see
+        # _remap_fused_pallas)
+        out[...] = (
+            jnp.clip(jnp.rint(acc), 0.0, 65535.0)
+            .astype(jnp.int32)
+            .astype(jnp.uint16)
+        )
 
     out = pl.pallas_call(
         kernel,
@@ -1211,17 +1271,17 @@ def _stitch_prestt_fused_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, bh, block), lambda j, i: (j, 0, 0)),
-            pl.BlockSpec((1, 6, WIN_C), lambda j, i: (j, 0, 0)),
+            pl.BlockSpec((1, WIN_CP, block), lambda j, i: (j, 0, 0)),
+            pl.BlockSpec((1, 6, WIN_CP), lambda j, i: (j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((TR, block), lambda j, i: (i, j)),
         out_shape=jax.ShapeDtypeStruct((n_row_t * TR, width), jnp.uint16),
         scratch_shapes=[
-            pltpu.VMEM((WIN_R, WIN_C), jnp.uint16),
+            pltpu.VMEM((WIN_R, WIN_CP), jnp.uint16),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(iy0_s, wys_s, src2, col_matrix, params_blocks)
+    )(iy0_s, wys_s, src2, mat_pad, params_blocks)
     return out[:rows]
 
 
