@@ -29,7 +29,7 @@ import numpy as np
 
 def _emit(value, error: str | None = None, **extra) -> None:
     """The ONE JSON line the driver parses.  ``extra`` records run-mode
-    qualifiers (e.g. lines, synth) so differently-configured runs are
+    qualifiers (e.g. lines, timing) so differently-configured runs are
     not read as directly comparable numbers."""
     out = {
         "metric": "e2e RRC+register+resample+stitch throughput",
@@ -197,16 +197,16 @@ def run_bench(plat: str | None) -> None:
     scene = rng.integers(
         2000, 42000, (lines_mss, PIXELS_PER_MSSBAND), dtype=np.uint16
     )
-    # multi-GB configs keep only the small MSS-resolution scene resident
-    # and derive PAN1/PAN2/MSS inside the jitted step: the persistent
-    # input set shrinks from ~3.6 GB to ~100 MB, so two output sets fit
-    # HBM and the run can pipeline (round-3 gap: 65536 lines OOM'd at
-    # depth 2 and fell back to serialized timing).  Overridable:
-    # OIP_BENCH_SYNTH=0 forces materialised inputs (serialized timing).
-    synth_threshold = int(os.environ.get("OIP_BENCH_SYNTH_THRESHOLD", 49152))
-    synth_on_device = lines_pan > synth_threshold and os.environ.get(
-        "OIP_BENCH_SYNTH", "1"
-    ) != "0"
+    # Multi-GB configs can't keep TWO fused working sets in flight (one
+    # 65536-line execution reserves ~8 GB at enqueue -> depth-2 OOMs the
+    # 16 GB chip, measured), so above the threshold the run software-
+    # pipelines at STAGE granularity instead: scene i's transform overlaps
+    # scene i+1's estimate (models/device_pipeline.make_device_pipeline_
+    # staged), ~11 GB in flight, same per-scene math.
+    staged_threshold = int(
+        os.environ.get("OIP_BENCH_STAGED_THRESHOLD", 49152)
+    )
+    staged = lines_pan > staged_threshold
 
     def derive_inputs(scene_d):
         pan1 = jnp.clip(
@@ -226,9 +226,10 @@ def run_bench(plat: str | None) -> None:
         )
         return pan1, pan2, mss
 
-    if not synth_on_device:
-        pan1, pan2, mss = derive_inputs(jnp.asarray(scene))
-        del scene
+    # inputs are derived ON DEVICE once, untimed (host can't push GBs
+    # through the tunnel quickly; the upsample/roll synthesis is cheap)
+    pan1, pan2, mss = derive_inputs(jnp.asarray(scene))
+    del scene
 
     def rand_params(n):
         return jnp.asarray(
@@ -251,19 +252,21 @@ def run_bench(plat: str | None) -> None:
         )
     )
 
+    px = (
+        lines_pan * PIXELS_PER_LINE                   # PAN1
+        + lines_pan * PIXELS_PER_LINE                 # PAN2
+        + MSS_BANDS * lines_mss * PIXELS_PER_MSSBAND  # MSS
+    )
+
+    if staged:
+        _run_staged_large(
+            pan1, pan2, mss, pan1_params, pan2_params, mss_params,
+            slices, n_iters, px, lines_pan,
+        )
+        return
+
     pipeline = make_device_pipeline(slices=slices)
-    if synth_on_device:
-        inner = pipeline
-
-        @jax.jit
-        def pipeline(scene_d, p1, p2, pm):
-            a, b, c = derive_inputs(scene_d)
-            return inner(a, b, c, p1, p2, pm)
-
-        args = (jnp.asarray(scene), pan1_params, pan2_params, mss_params)
-        del scene
-    else:
-        args = (pan1, pan2, mss, pan1_params, pan2_params, mss_params)
+    args = (pan1, pan2, mss, pan1_params, pan2_params, mss_params)
 
     out = pipeline(*args)
     jax.block_until_ready(out)
@@ -291,16 +294,14 @@ def run_bench(plat: str | None) -> None:
     # up-front: an OOM'd execution poisons subsequent device ops).
     import sys
 
-    if lines_pan <= 49152 or synth_on_device:
+    if lines_pan <= 49152:
         # best of 3 windows: the host sporadically slows for stretches,
         # which would otherwise charge scheduling hiccups to the device.
         # Depth 3 (two iterations in flight) keeps the device fed across
-        # the host's dispatch gaps; ~3 output sets of HBM.  Multi-GB
-        # configs (on-device input synthesis) bound HBM to 2 output sets
-        # with depth 2 instead.
+        # the host's dispatch gaps; ~3 output sets of HBM.
         from collections import deque
 
-        depth = 1 if synth_on_device else 2
+        depth = 2
         window_dts = []
         for _w in range(3):
             t0 = time.perf_counter()
@@ -336,20 +337,92 @@ def run_bench(plat: str | None) -> None:
         "stt", int(out[3]), file=sys.stderr,
     )
 
-    px = (
-        lines_pan * PIXELS_PER_LINE                   # PAN1
-        + lines_pan * PIXELS_PER_LINE                 # PAN2
-        + MSS_BANDS * lines_mss * PIXELS_PER_MSSBAND  # MSS
-    )
     gpix = px / dt / 1e9
-    extra = {"lines": lines_pan, "timing": mode}
-    if synth_on_device:
-        # the timed step also synthesises its inputs on-device (the
-        # host can't materialise a >HBM scene through the tunnel), so
-        # this number under-reports the pipeline-only throughput and is
-        # not directly comparable to materialized-input rows
-        extra["synth"] = True
-    _emit(round(gpix, 3), **extra)
+    _emit(round(gpix, 3), lines=lines_pan, timing=mode)
+
+
+def _run_staged_large(
+    pan1, pan2, mss, pan1_params, pan2_params, mss_params,
+    slices, n_iters, px, lines_pan,
+):
+    """Multi-GB configs: stage-granular software pipelining.
+
+    One fused 65536-line execution reserves ~8 GB at enqueue, so keeping a
+    whole second iteration in flight OOMs the 16 GB chip (measured
+    RESOURCE_EXHAUSTED 2026-08-18).  Instead each scene runs as two
+    executions (models/device_pipeline.make_device_pipeline_staged): the
+    transform of scene i overlaps the estimate of scene i+1 — persistent
+    inputs (~3.6 GB) + one transform working set + one estimate working
+    set ≈ 11 GB in flight — which still hides the host/tunnel round trip.
+    The per-scene math is identical to the fused pipeline
+    (test_staged_pipeline_matches_fused).
+    """
+    import sys
+
+    import jax
+
+    from opticalimageprocessor_tpu.models.device_pipeline import (
+        make_device_pipeline_staged,
+    )
+
+    est, tra = make_device_pipeline_staged(slices=slices)
+
+    def estimate():
+        return est(pan1, pan2, mss, pan1_params, mss_params)
+
+    def transform(params):
+        cx, cy, n_valid, rdx, rdy, n_stt = params
+        outs = tra(
+            pan1, pan2, mss, pan1_params, pan2_params, mss_params,
+            cx, cy, rdx, rdy,
+        )
+        return outs, (n_valid, n_stt)
+
+    # warmup + forced readback (through the tunnel block_until_ready can
+    # return early, which would push warmup cost into the timed windows)
+    (aligned, stitched), valid = transform(estimate())
+    jax.block_until_ready(stitched)
+    _ = np.asarray(stitched[0, 0])
+    print(
+        "valid: register", np.asarray(valid[0]).tolist(),
+        "stt", int(valid[1]), file=sys.stderr,
+    )
+    del aligned, stitched
+
+    # serialized per-scene latency (diagnostic)
+    times = []
+    for it in range(n_iters):
+        t0 = time.perf_counter()
+        (aligned, stitched), _v = transform(estimate())
+        jax.block_until_ready(stitched)
+        _ = np.asarray(stitched[it % 7, it % 5])
+        times.append(time.perf_counter() - t0)
+        del aligned, stitched
+
+    # sustained throughput (THE metric): scene i's transform in flight
+    # while scene i+1's estimate is already enqueued; best of 3 windows
+    # (the host sporadically slows for stretches)
+    window_dts = []
+    for _w in range(3):
+        t0 = time.perf_counter()
+        nxt = estimate()
+        for i in range(n_iters):
+            (aligned, stitched), _v = transform(nxt)
+            if i + 1 < n_iters:
+                nxt = estimate()
+            jax.block_until_ready(stitched)
+            _ = np.asarray(stitched[i % 7, i % 5])
+            del aligned, stitched
+        window_dts.append((time.perf_counter() - t0) / n_iters)
+    dt = min(window_dts)
+
+    print("serialized times:", [round(t, 4) for t in times], file=sys.stderr)
+    print(
+        f"pipelined-staged: {dt * 1e3:.1f} ms/scene "
+        f"(serialized median {np.median(times) * 1e3:.1f})",
+        file=sys.stderr,
+    )
+    _emit(round(px / dt / 1e9, 3), lines=lines_pan, timing="pipelined-staged")
 
 
 if __name__ == "__main__":

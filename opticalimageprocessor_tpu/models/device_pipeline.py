@@ -461,6 +461,109 @@ def make_device_pipeline(
     return pipeline
 
 
+def make_device_pipeline_staged(
+    slices: int = 10,
+    n_sections: int | None = None,
+    fold: int = 200,
+    chunk_rows: int = 512,
+    row_bound: int = 3,
+    stt_sections: int = 10,
+    stt_lines: int | None = None,
+    overlap_cols: int = 200,
+    col_block: int = 128,
+    col_halo: int = 16,
+    stt_threshold: float = IBCV_DEF_THRESHOLD,
+    stt_max_delta_y: float = 0.0,
+    threshold: float = IBCV_DEF_THRESHOLD,
+    prestt_row_bound: int = 8,
+    return_prestt: bool = False,
+    donate_inputs: bool = False,
+):
+    """:func:`make_device_pipeline` split at the parameter boundary.
+
+    Returns ``(estimate, transform)``, two jitted executions computing the
+    same scene as the fused pipeline:
+
+      estimate(pan1, pan2, mss, pan1_params, mss_params)
+        -> (cx (4, 2), cy (4, 3), n_valid_register (4,),
+            raw_stt_dx (), raw_stt_dy (), n_valid_stt ())
+      transform(pan1, pan2, mss, pan1_params, pan2_params, mss_params,
+                cx, cy, raw_stt_dx, raw_stt_dy)
+        -> (aligned, stitched[, prestt])   # fused-pipeline layouts
+
+    Why split: one fused 65536-line execution reserves ~8 GB of HBM
+    (outputs + temps) at enqueue, so keeping a second iteration in flight
+    OOMs the 16 GB chip (measured RESOURCE_EXHAUSTED, 2026-08-18) — but a
+    transform and the NEXT scene's estimate together fit, so back-to-back
+    scenes can software-pipeline at stage granularity and still hide the
+    host/tunnel round trip.  This mirrors the reference's own
+    materialisation boundary: parameter estimation and the remap transform
+    are separate passes there too (preproc.h:212-221 vs :428-468,
+    stitcher.h:148-201 vs :83-139).
+
+    ``donate_inputs`` donates ``pan1``/``pan2``/``mss`` to ``transform``
+    (callers that hand per-scene strips across stages let XLA reuse those
+    buffers for intermediates, lowering the in-flight peak; the arrays are
+    invalidated by the call).
+    """
+
+    @jax.jit
+    def estimate(pan1, pan2, mss, pan1_params, mss_params):
+        mss_c = jnp.stack(
+            [rrc.rrc_apply(mss[i], mss_params[i]) for i in range(MSS_BANDS)]
+        )
+        coeffs, n_valid = register_fast(
+            pan1, mss_c, slices, n_sections, threshold=threshold,
+            pan_params=pan1_params,
+        )
+        raw_dx, raw_dy, _resp, n_stt = stt_estimate_fast(
+            pan1, pan2, stt_sections, stt_lines, overlap_cols,
+            threshold=stt_threshold, max_delta_y=stt_max_delta_y,
+        )
+        cx = jnp.stack([coeffs[i][0] for i in range(MSS_BANDS)])
+        cy = jnp.stack([coeffs[i][1] for i in range(MSS_BANDS)])
+        return cx, cy, n_valid, raw_dx, raw_dy, n_stt
+
+    def _transform(
+        pan1, pan2, mss, pan1_params, pan2_params, mss_params,
+        cx, cy, raw_dx, raw_dy,
+    ):
+        mss_c = jnp.stack(
+            [rrc.rrc_apply(mss[i], mss_params[i]) for i in range(MSS_BANDS)]
+        )
+        aligned = jnp.stack(
+            [
+                resample.remap_band_fast_chunked(
+                    mss_c[i], cx[i], cy[i],
+                    chunk_rows=chunk_rows, row_bound=row_bound,
+                    col_block=col_block, col_halo=col_halo,
+                )
+                for i in range(MSS_BANDS)
+            ],
+            axis=-1,
+        )
+        dxs = jnp.clip(raw_dx, -(col_halo - 2.0), col_halo - 2.0)
+        dys = jnp.clip(
+            raw_dy, -(prestt_row_bound - 2.0), prestt_row_bound - 2.0
+        )
+        out = resample.remap_const_stitch_chunked(
+            pan1, pan2, pan1_params, pan2_params, dxs, dys, fold,
+            chunk_rows=chunk_rows,
+            row_bound=prestt_row_bound,
+            col_block=col_block,
+            col_halo=col_halo,
+            want_prestt=return_prestt,
+        )
+        if return_prestt:
+            return aligned, out[0], out[1]
+        return aligned, out
+
+    transform = jax.jit(
+        _transform, donate_argnums=(0, 1, 2) if donate_inputs else ()
+    )
+    return estimate, transform
+
+
 def _rrc_register_align(
     pan_c, mss, mss_params, slices, n_sections, threshold,
     chunk_rows, row_bound, col_block, col_halo, pan_params=None,

@@ -197,6 +197,110 @@ def test_device_pipeline_shapes(rng):
     )
 
 
+def test_staged_pipeline_matches_fused(rng):
+    """make_device_pipeline_staged (the two-execution split used by the
+    multi-GB bench's stage-granular software pipelining) must reproduce
+    the fused pipeline's outputs on the same scene."""
+    from opticalimageprocessor_tpu.constants import PIXELS_PER_LINE
+    from opticalimageprocessor_tpu.models.device_pipeline import (
+        make_device_pipeline_staged,
+    )
+
+    lines_pan = 2048
+    lines_mss = lines_pan // 4
+    scene = rng.integers(2000, 42000, (lines_mss, 3072)).astype(np.uint16)
+    pan1_h = np.clip(
+        np.rint(np.asarray(resample.upsample4_f32(scene.astype(np.float32)))),
+        0, 65535,
+    ).astype(np.uint16)
+    pan2_h = np.roll(
+        np.roll(pan1_h, 2, axis=0), 200 - 3 - PIXELS_PER_LINE, axis=1
+    )
+    mss = jnp.asarray(
+        np.stack(
+            [
+                np.roll(np.roll(scene, b % 2, axis=0), b - 1, axis=1)
+                for b in range(4)
+            ]
+        )
+    )
+    pp = jnp.asarray(
+        rrc.split_rrc_params(
+            np.ones(PIXELS_PER_LINE), np.zeros(PIXELS_PER_LINE)
+        )
+    )
+    mp = jnp.asarray(
+        np.stack([rrc.split_rrc_params(np.ones(3072), np.zeros(3072))] * 4)
+    )
+    pan1, pan2 = jnp.asarray(pan1_h), jnp.asarray(pan2_h)
+
+    pipeline = make_device_pipeline(slices=8, fold=200, stt_sections=4)
+    aligned_f, stitched_f, n_valid_f, n_stt_f, params_f = pipeline(
+        pan1, pan2, mss, pp, pp, mp
+    )
+
+    est, tra = make_device_pipeline_staged(
+        slices=8, fold=200, stt_sections=4
+    )
+    cx, cy, n_valid, raw_dx, raw_dy, n_stt = est(pan1, pan2, mss, pp, mp)
+    aligned_s, stitched_s = tra(
+        pan1, pan2, mss, pp, pp, mp, cx, cy, raw_dx, raw_dy
+    )
+
+    np.testing.assert_array_equal(np.asarray(n_valid), np.asarray(n_valid_f))
+    assert int(n_stt) == int(n_stt_f)
+    np.testing.assert_array_equal(np.asarray(cx), np.asarray(params_f[0]))
+    np.testing.assert_array_equal(np.asarray(cy), np.asarray(params_f[1]))
+    np.testing.assert_array_equal(np.asarray(raw_dx), np.asarray(params_f[4]))
+    np.testing.assert_array_equal(np.asarray(raw_dy), np.asarray(params_f[5]))
+    np.testing.assert_array_equal(
+        np.asarray(aligned_s), np.asarray(aligned_f)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stitched_s), np.asarray(stitched_f)
+    )
+
+
+def test_staged_pipeline_donate_inputs(rng):
+    """donate_inputs=True invalidates the strip buffers and still returns
+    the right outputs (the bench's cross-stage handoff contract)."""
+    from opticalimageprocessor_tpu.models.device_pipeline import (
+        make_device_pipeline_staged,
+    )
+
+    lines_pan = 1024
+    scene = rng.integers(2000, 42000, (lines_pan // 4, 3072)).astype(
+        np.uint16
+    )
+    pan1_h = np.clip(
+        np.rint(np.asarray(resample.upsample4_f32(scene.astype(np.float32)))),
+        0, 65535,
+    ).astype(np.uint16)
+    pan2_h = np.roll(np.roll(pan1_h, 2, axis=0), 200 - 3 - 12288, axis=1)
+    mss = jnp.asarray(
+        np.stack([np.roll(scene, b - 1, axis=1) for b in range(4)])
+    )
+    pp = jnp.asarray(rrc.split_rrc_params(np.ones(12288), np.zeros(12288)))
+    mp = jnp.asarray(
+        np.stack([rrc.split_rrc_params(np.ones(3072), np.zeros(3072))] * 4)
+    )
+    est, tra = make_device_pipeline_staged(
+        slices=8, stt_sections=2, donate_inputs=True
+    )
+    base_e, base_t = make_device_pipeline_staged(slices=8, stt_sections=2)
+    pan1, pan2 = jnp.asarray(pan1_h), jnp.asarray(pan2_h)
+    cx, cy, _nv, rdx, rdy, _ns = est(pan1, pan2, mss, pp, mp)
+    want = base_t(pan1, pan2, mss, pp, pp, mp, cx, cy, rdx, rdy)
+    aligned, stitched = tra(pan1, pan2, mss, pp, pp, mp, cx, cy, rdx, rdy)
+    np.testing.assert_array_equal(np.asarray(aligned), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(stitched), np.asarray(want[1]))
+    # donation is best-effort per backend; when honoured, the buffers are
+    # dead after the call and any further read must fail loudly
+    if pan1.is_deleted():
+        with pytest.raises(RuntimeError):
+            _ = np.asarray(pan1)
+
+
 def test_pipeline_odd_strip_lengths(rng):
     """Arbitrary (prime-ish) strip lengths must not break the fast path's
     MXU DFT factorisation (stt window heights are rounded to x64)."""

@@ -16,6 +16,6 @@ export PYTHONPATH="$PWD:/root/.axon_site"
   timeout 1800 python tools/ablate_remap.py --register --lines 32768 --n 3
   echo "=== bench (32768) ==="
   timeout 1800 env OIP_BENCH_DEADLINE=1500 python bench.py
-  echo "=== bench (65536, on-device synth + depth-2 pipelining) ==="
+  echo "=== bench (65536, stage-granular software pipelining) ==="
   timeout 2700 env OIP_BENCH_LINES=65536 OIP_BENCH_DEADLINE=2200 python bench.py
 } 2>&1 | tee /tmp/tpu_perf_session.log
