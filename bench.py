@@ -291,8 +291,6 @@ def run_bench(plat: str | None) -> None:
     # a production pipeline runs back-to-back scenes.  Every iteration's
     # result is still fully materialised and read back.  (Scenes whose two
     # working sets would exceed HBM took the staged path above.)
-    import sys
-
     from collections import deque
 
     depth = 2
@@ -370,8 +368,6 @@ def _run_staged_large(
     The per-scene math is identical to the fused pipeline
     (test_staged_pipeline_matches_fused).
     """
-    import sys
-
     import jax
 
     from opticalimageprocessor_tpu.models.device_pipeline import (

@@ -892,7 +892,13 @@ def _remap_fast_over_padded(
     strip/section border (single-device path) or true neighbour rows from
     a ppermute halo exchange (the sharded scene pipeline)."""
     width = padded.shape[1]
-    if _FUSED_REMAP_PALLAS and width % col_matrix.shape[2] == 0:
+    # row_bound <= 6: the fused kernel's aligned window fetch covers at
+    # most 16 tap rows; wider bounds fall back to the staged path below
+    if (
+        _FUSED_REMAP_PALLAS
+        and width % col_matrix.shape[2] == 0
+        and row_bound <= 6
+    ):
         return _remap_fused_pallas(
             padded, rows, col_matrix, g, row_bound,
             interpret=_FUSED_REMAP_INTERPRET,

@@ -224,27 +224,41 @@ def test_staged_pipeline_matches_fused(rng):
             ]
         )
     )
-    pp = jnp.asarray(
-        rrc.split_rrc_params(
-            np.ones(PIXELS_PER_LINE), np.zeros(PIXELS_PER_LINE)
+    # REAL (non-identity, distinct) RRC params: identity or shared params
+    # would let a staged split that drops or swaps an RRC application
+    # still match the fused outputs bit-for-bit
+    def rand_params(n):
+        return jnp.asarray(
+            rrc.split_rrc_params(
+                0.98 + 0.04 * rng.random(n), rng.normal(0, 20, n)
+            )
         )
-    )
+
+    p1p = rand_params(PIXELS_PER_LINE)
+    p2p = rand_params(PIXELS_PER_LINE)
     mp = jnp.asarray(
-        np.stack([rrc.split_rrc_params(np.ones(3072), np.zeros(3072))] * 4)
+        np.stack(
+            [
+                rrc.split_rrc_params(
+                    0.99 + 0.02 * rng.random(3072), rng.normal(0, 10, 3072)
+                )
+                for _ in range(4)
+            ]
+        )
     )
     pan1, pan2 = jnp.asarray(pan1_h), jnp.asarray(pan2_h)
 
     pipeline = make_device_pipeline(slices=8, fold=200, stt_sections=4)
     aligned_f, stitched_f, n_valid_f, n_stt_f, params_f = pipeline(
-        pan1, pan2, mss, pp, pp, mp
+        pan1, pan2, mss, p1p, p2p, mp
     )
 
     est, tra = make_device_pipeline_staged(
         slices=8, fold=200, stt_sections=4
     )
-    cx, cy, n_valid, raw_dx, raw_dy, n_stt = est(pan1, pan2, mss, pp, mp)
+    cx, cy, n_valid, raw_dx, raw_dy, n_stt = est(pan1, pan2, mss, p1p, mp)
     aligned_s, stitched_s = tra(
-        pan1, pan2, mss, pp, pp, mp, cx, cy, raw_dx, raw_dy
+        pan1, pan2, mss, p1p, p2p, mp, cx, cy, raw_dx, raw_dy
     )
 
     np.testing.assert_array_equal(np.asarray(n_valid), np.asarray(n_valid_f))
@@ -259,6 +273,26 @@ def test_staged_pipeline_matches_fused(rng):
     np.testing.assert_array_equal(
         np.asarray(stitched_s), np.asarray(stitched_f)
     )
+
+
+def test_staged_pipeline_defaults_match_fused():
+    """The staged maker mirrors the fused maker's keyword defaults; a
+    tuning change to one but not the other would make the multi-GB bench
+    silently measure a differently-configured pipeline above vs below
+    the staged threshold."""
+    import inspect
+
+    from opticalimageprocessor_tpu.models.device_pipeline import (
+        make_device_pipeline_staged,
+    )
+
+    fused = inspect.signature(make_device_pipeline).parameters
+    staged = inspect.signature(make_device_pipeline_staged).parameters
+    for name, param in fused.items():
+        assert name in staged, f"staged maker lost parameter {name}"
+        assert staged[name].default == param.default, (
+            name, staged[name].default, param.default,
+        )
 
 
 def test_staged_pipeline_donate_inputs(rng):

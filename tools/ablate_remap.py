@@ -31,13 +31,19 @@ ensure_platform()
 
 
 def _guarded(label: str, fn):
-    """Time one entry; a compile/runtime failure (e.g. a VMEM OOM on some
-    config) reports and moves on instead of killing the whole sweep (the
-    2026-08-18 session lost the fused-kernel A/Bs to one bad config)."""
+    """Time one entry; a COMPILE failure (e.g. a Mosaic VMEM rejection on
+    some config) reports and moves on instead of killing the whole sweep
+    (the 2026-08-18 session lost the fused-kernel A/Bs to one bad
+    config).  A runtime RESOURCE_EXHAUSTED still aborts: an OOM'd
+    execution poisons subsequent device ops (docs/PERF.md), so timings
+    taken after one would be garbage presented as data."""
     try:
         fn()
     except Exception as exc:  # noqa: BLE001 — survey tool, keep sweeping
         print(f"{label}: FAILED {type(exc).__name__}: {str(exc)[:160]}")
+        if "RESOURCE_EXHAUSTED" in str(exc):
+            print("device OOM poisons later timings — aborting sweep")
+            raise
 
 
 def main(args):
