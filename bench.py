@@ -96,9 +96,12 @@ def main() -> None:
     )
     deadline = float(os.environ.get("OIP_BENCH_DEADLINE", 2400))
     t_start = time.monotonic()
-    if not plat or "tpu" in plat:
-        # intending the TPU backend: verify it actually comes up before
-        # spending the deadline on a run.  The tunnel flaps, so retry.
+    if not plat or "tpu" in plat or "axon" in plat:
+        # intending the TPU backend (directly or via the hosted 'axon'
+        # plugin — the kernel env sets JAX_PLATFORMS=axon, so matching
+        # only 'tpu' would skip the probe exactly when it matters):
+        # verify it actually comes up before spending the deadline on a
+        # run.  The tunnel flaps, so retry.
         retries = int(os.environ.get("OIP_BENCH_PROBE_RETRIES", 3))
         probe_timeout = float(os.environ.get("OIP_BENCH_PROBE_TIMEOUT", 120))
         delay = float(os.environ.get("OIP_BENCH_PROBE_DELAY", 30))
