@@ -81,6 +81,7 @@ def register_fast(
     pan_params: jax.Array | None = None,
     section_batch: int | None = None,
     interpret: bool = False,
+    unroll: int = 1,
 ):
     """Fast registration: per-(section, slice) windowed phase correlation.
 
@@ -211,6 +212,17 @@ def register_fast(
             pan_c, mss_c, pan_params, slices, n_sections, corr_rows, cols,
             brows, bcols, pad, win, sec_stride,
             min(section_batch, slices), interpret,
+        )
+    elif unroll > 1:
+        # lax.map is scan-of-batch-1; unrolling the scan body lets XLA
+        # schedule ``unroll`` tiles' dispatch chains together (A/B knob for
+        # the ~30 ms step-scheduling residual in docs/PERF.md — working set
+        # grows by the unroll factor, so keep it small)
+        _, (dx, dy, rs) = jax.lax.scan(
+            lambda _, idx: (None, one_slice(idx)),
+            None,
+            jnp.arange(n_sections * slices),
+            unroll=unroll,
         )
     else:
         dx, dy, rs = jax.lax.map(one_slice, jnp.arange(n_sections * slices))

@@ -78,6 +78,28 @@ def test_register_fast_tile_batched_matches_per_tile(rng):
                 assert d < 1e-4, (label, b, k, d)
 
 
+def test_register_fast_scan_unroll_matches_lax_map(rng):
+    """``unroll>1`` swaps lax.map for an unrolled lax.scan over the same
+    tile body — identical math, different step scheduling — so the
+    coefficients must match the default path bit-for-bit (incl. an unroll
+    that doesn't divide the tile count)."""
+    lines_mss, band_px = 512, 3072 // 4
+    scene, pan = _scene_pair(rng, lines_mss, band_px)
+    mss = np.stack([np.roll(scene, b - 2, 1) for b in range(4)])
+    kw = dict(slices=8, n_sections=1, win=(16, 16), use_fused=False)
+    c_map, nv_map = register_fast(jnp.asarray(pan), jnp.asarray(mss), **kw)
+    for unroll in (2, 3, 8):
+        c_u, nv_u = register_fast(
+            jnp.asarray(pan), jnp.asarray(mss), unroll=unroll, **kw
+        )
+        assert np.array_equal(np.asarray(nv_u), np.asarray(nv_map))
+        for b in range(4):
+            for k in range(2):
+                assert np.array_equal(
+                    np.asarray(c_u[b][k]), np.asarray(c_map[b][k])
+                ), (unroll, b, k)
+
+
 def test_register_fast_excludes_low_response(rng):
     """Flat (zero-texture) tiles fall below the 0.4 response threshold and
     are provably excluded from the fit; all-flat bands trip the reference's

@@ -61,6 +61,8 @@ def main():
 
     variants = [
         ("laxmap (r3 default)", dict(section_batch=1)),
+        ("scan unroll=2", dict(section_batch=1, unroll=2)),
+        ("scan unroll=5", dict(section_batch=1, unroll=5)),
         ("batched g=10 (full section)", dict(section_batch=10)),
         ("batched g=5", dict(section_batch=5)),
         ("batched g=2", dict(section_batch=2)),
