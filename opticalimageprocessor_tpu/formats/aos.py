@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .crc16 import crc16_ccitt_false
+from .crc16 import crc16_ccitt_false, crc16_ccitt_false_many
 
 # --- AOS physical frames (aux_separator.h:29-57) ---------------------------
 SYNC_BYTES = b"\x1a\xcf\xfc\x1d"
@@ -508,6 +508,61 @@ def build_image_frame(
         off = IMGSIG_SUBIML_OFF + 4 * i
         meta[off : off + 4] = sd.to_bytes(4, "big")
     return aux + payload + bytes(meta)
+
+
+def build_imtr_stream(
+    payloads: np.ndarray, start_seq: int = 1, chid: int = IMTR_CHID_CMOS1
+) -> np.ndarray:
+    """Vectorised inverse of :func:`parse_imtr_stream`: wrap (n, 866) u8
+    payload rows into (n, 882) valid image-transfer frames with
+    consecutive sequence numbers (batch CRC, ~1000x the per-frame
+    :func:`build_imtr_frame` loop for multi-frame fixtures)."""
+    payloads = np.ascontiguousarray(payloads, dtype=np.uint8)
+    n = payloads.shape[0]
+    assert payloads.shape == (n, IMTR_IMGDATA_BYTES)
+    frames = np.zeros((n, IMTR_FRAME_BYTES), np.uint8)
+    frames[:, :4] = np.frombuffer(IMTR_SIG, np.uint8)
+    seq = (np.arange(n, dtype=np.uint32) + np.uint32(start_seq))[:, None]
+    shifts = np.array([24, 16, 8, 0], np.uint32)
+    frames[:, IMTR_SEQ_OFF : IMTR_SEQ_OFF + 4] = (
+        (seq >> shifts) & 0xFF
+    ).astype(np.uint8)
+    frames[:, IMTR_CHID_OFF] = chid
+    frames[:, IMTR_DTMARK_OFF] = IMTR_DTMARK_IMG
+    frames[:, IMTR_IMGDATA_OFF : IMTR_IMGDATA_OFF + IMTR_IMGDATA_BYTES] = payloads
+    crc = crc16_ccitt_false_many(frames[:, :IMTR_CRC_OFF])
+    frames[:, IMTR_CRC_OFF] = (crc >> 8).astype(np.uint8)
+    frames[:, IMTR_CRC_OFF + 1] = (crc & 0xFF).astype(np.uint8)
+    frames[:, IMTR_ENDSIG_OFF : IMTR_ENDSIG_OFF + 4] = np.frombuffer(
+        IMTR_ENDSIG, np.uint8
+    )
+    return frames
+
+
+def build_aos_stream(
+    payloads: np.ndarray, start_vcdu_seq: int = 0, vcid: int = 1
+) -> np.ndarray:
+    """Vectorised inverse of :func:`scan_aos_frames`: wrap (n, 880) u8
+    payload rows into (n, 1024) valid AOS frames (LDPC zeros, batch CRC
+    over bytes [4, 894) like ValidateAosFrame, aux_separator.h:679-681)."""
+    payloads = np.ascontiguousarray(payloads, dtype=np.uint8)
+    n = payloads.shape[0]
+    assert payloads.shape == (n, AOS_DATA_BYTES)
+    frames = np.zeros((n, AOS_FRAME_BYTES), np.uint8)
+    frames[:, :4] = np.frombuffer(SYNC_BYTES, np.uint8)
+    frames[:, 4] = 0x40
+    frames[:, AOS_VCID_OFF] = vcid & AOS_VCID_MASK
+    seq = (np.arange(n, dtype=np.uint32) + np.uint32(start_vcdu_seq))[:, None]
+    shifts = np.array([16, 8, 0], np.uint32)
+    frames[:, AOS_VCDUSEQ_OFF : AOS_VCDUSEQ_OFF + 3] = (
+        (seq >> shifts) & 0xFF
+    ).astype(np.uint8)
+    # VCDUINJ left 0x00000000 (valid)
+    frames[:, AOS_DATA_OFF : AOS_DATA_OFF + AOS_DATA_BYTES] = payloads
+    crc = crc16_ccitt_false_many(frames[:, AOS_HEADER_OFF:AOS_CRC_OFF])
+    frames[:, AOS_CRC_OFF] = (crc >> 8).astype(np.uint8)
+    frames[:, AOS_CRC_OFF + 1] = (crc & 0xFF).astype(np.uint8)
+    return frames
 
 
 def split_stream_into_imtr_payload(data: bytes) -> list[bytes]:

@@ -13,6 +13,12 @@
 //            incl. cv::phaseCorrelate on the overlap strips and the
 //            SectionaryRemap cv::remap pass; dumps dx/dy/response and
 //            writes the .PRESTT.RAW
+//   auxsep — AuxSeparator::Separate (aux_separator.h:224-245): the full
+//            two-thread AOS scan + IMTR reassembly + image-data
+//            separation incl. CRC validation, JPEG2000 inflate and the
+//            zero-fill / incomplete-frame rules; writes .IMDT/.AUX/
+//            .PAN.RAW/.MSS.RAW into the given output dir (chdir'ed, as
+//            the reference emits into the CWD)
 // GDAL / NumCpp / libimsux are satisfied by minimal clean-room stubs in
 // ./stubs (see each header); the GDAL-backed output paths are never
 // executed.  `private` is remapped so the harness can dump internal fit
@@ -21,6 +27,8 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>  // aux_separator.h uses this_thread::sleep_for but only
+                   // includes <future>/<mutex>; libstdc++ needs <thread>
 
 #include <opencv2/core.hpp>
 #include <opencv2/imgproc.hpp>
@@ -43,8 +51,11 @@ inline std::string to_lower(std::string s) {
 #define protected public
 #include "preproc.h"
 #include "stitcher.h"
+#include "aux_separator.h"
 #undef protected
 #undef private
+
+#include <unistd.h>
 
 USING_NS(OIP)
 
@@ -137,15 +148,37 @@ static int cmd_stt(int argc, char ** argv) {
     return 0;
 }
 
+static int cmd_auxsep(int argc, char ** argv) {
+    // auxsep <aos_or_imdt> <byte_offset> <outdir>
+    // The reference's Separate() writes the IMDT into the CWD and derives
+    // AUX/PAN/MSS from it via BuildOutputFilePath (also CWD-based,
+    // aux_separator.h:260-262, 513-524), so the harness chdir's first.
+    if (argc != 3) {
+        fprintf(stderr, "usage: harness auxsep FILE OFFSET OUTDIR\n");
+        return 2;
+    }
+    const std::string file = argv[0];
+    const size_t offset = strtoull(argv[1], nullptr, 10);
+    if (chdir(argv[2]) != 0) {
+        perror("chdir outdir");
+        return 2;
+    }
+    AuxSeparator as(file, offset);
+    as.Separate();
+    printf("auxsep done: %s\n", as.mIMDTFileName.c_str());
+    return 0;
+}
+
 int main(int argc, char ** argv) {
     if (argc < 2) {
-        fprintf(stderr, "usage: harness {rrc|align|stt} ...\n");
+        fprintf(stderr, "usage: harness {rrc|align|stt|auxsep} ...\n");
         return 2;
     }
     try {
         if (!strcmp(argv[1], "rrc")) return cmd_rrc(argc - 2, argv + 2);
         if (!strcmp(argv[1], "align")) return cmd_align(argc - 2, argv + 2);
         if (!strcmp(argv[1], "stt")) return cmd_stt(argc - 2, argv + 2);
+        if (!strcmp(argv[1], "auxsep")) return cmd_auxsep(argc - 2, argv + 2);
     } catch (const std::exception & e) {
         fprintf(stderr, "harness error: %s\n", e.what());
         return 1;

@@ -1,10 +1,10 @@
 // Minimal clean-room stand-in for the reference's in-house utility
 // header (github.com/arloan/libimsux, not installed on this host).
 // Implements ONLY the interface surface the reference headers consume:
-// scoped_ptr / file_dtor / array_dtor, stop_watch, comma_sep, xs,
-// errno_error.  Written from the call sites in
-// /root/reference/OpticalImageProcessor/{imageop.h,preproc.h,stitcher.h};
-// no reference code copied.
+// scoped_ptr / scoped_ob / file_dtor / array_dtor, stop_watch, comma_sep,
+// xs, errno_error, and the CRITICAL_SECTION locking trio.  Written from
+// the call sites in /root/reference/OpticalImageProcessor/{imageop.h,
+// preproc.h,stitcher.h,aux_separator.h}; no reference code copied.
 #ifndef OIP_PARITY_IMSUX_STUB
 #define OIP_PARITY_IMSUX_STUB
 
@@ -12,6 +12,7 @@
 #include <cstdarg>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <stdexcept>
 #include <string>
 
@@ -34,13 +35,17 @@ struct default_array_dtor {  // every default-deleted scoped_ptr in the
 template <typename T, typename Dtor = default_array_dtor<T>>
 class scoped_ptr {
 public:
-    scoped_ptr() : p_(nullptr) {}
-    scoped_ptr(T * p) : p_(p) {}
+    scoped_ptr() : p_(nullptr), d_() {}
+    scoped_ptr(T * p) : p_(p), d_() {}
+    // stateful-deleter form: aux_separator.h holds an mmap'ed region as
+    // scoped_ptr<uint8_t, MMapDtor>(ptr, size) where MMapDtor(size_t)
+    scoped_ptr(T * p, Dtor d) : p_(p), d_(d) {}
     scoped_ptr(const scoped_ptr &) = delete;
     scoped_ptr & operator=(const scoped_ptr &) = delete;
-    scoped_ptr(scoped_ptr && o) : p_(o.detach()) {}
+    scoped_ptr(scoped_ptr && o) : p_(o.detach()), d_(o.d_) {}
     scoped_ptr & operator=(scoped_ptr && o) {
         attach(o.detach());
+        d_ = o.d_;
         return *this;
     }
     scoped_ptr & operator=(T * p) {
@@ -66,11 +71,51 @@ public:
 
 private:
     void reset_() {
-        if (p_) Dtor()(p_);
+        if (p_) d_(p_);
         p_ = nullptr;
     }
     T * p_;
+    Dtor d_;
 };
+
+// RAII holder for non-pointer resources (aux_separator.h wraps a POSIX fd
+// as scoped_ob<int, FDDtor>); converts implicitly to the held value.
+template <typename T, typename Dtor>
+class scoped_ob {
+public:
+    scoped_ob(T v) : v_(v) {}
+    scoped_ob(const scoped_ob &) = delete;
+    scoped_ob & operator=(const scoped_ob &) = delete;
+    ~scoped_ob() { Dtor()(v_); }
+    operator T() const { return v_; }
+    T get() const { return v_; }
+
+private:
+    T v_;
+};
+
+// Win32-flavoured critical-section API over std::mutex, as consumed by
+// aux_separator.h: the locker object binds a CS once, each _ims_lock
+// block acquires/releases it for the block's extent.
+typedef std::mutex CRITICAL_SECTION;
+inline void InitializeCriticalSection(CRITICAL_SECTION *) {}
+
+class CriticalSectionLocker {
+public:
+    explicit CriticalSectionLocker(CRITICAL_SECTION & cs) : cs_(cs) {}
+    CRITICAL_SECTION & cs_;
+};
+
+struct ims_lock_scope {
+    explicit ims_lock_scope(CriticalSectionLocker & l) : l_(l), done(false) {
+        l_.cs_.lock();
+    }
+    ~ims_lock_scope() { l_.cs_.unlock(); }
+    CriticalSectionLocker & l_;
+    bool done;
+};
+#define _ims_lock(Type, locker) \
+    for (ims_lock_scope _ims_g(locker); !_ims_g.done; _ims_g.done = true)
 
 class stop_watch {
 public:

@@ -36,6 +36,9 @@ struct oip_stub_logx {
 };
 
 #define LOGT(...) oip_stub_log(__VA_ARGS__)
+#define LOGW(...) oip_stub_log(__VA_ARGS__)
+#define LOGE(...) oip_stub_log(__VA_ARGS__)
+#define LOGF(...) oip_stub_log(__VA_ARGS__)
 #define LOGX(sev, flush) oip_stub_logx {}
 
 #endif  // OIP_PARITY_IMSUX_LOGGER_STUB
