@@ -12,9 +12,11 @@ values``, ``No valid delta value found``) surfaced identically.
 
 ``mesh=N`` runs the same fused pipeline SPMD over an N-device 'line' mesh
 (parallel/sharded_scene): strips are ingested shard-by-shard straight from
-the memory maps (bounded host RSS) and the output rasters are drained
-shard-by-shard into the streaming writers — the multi-chip scaling path
-for the flagship program.
+the memory maps (bounded host RSS) and the output rasters are drained via
+the offset-write drains (parallel/distributed) — byte-identical to the
+sequential writers single-process, and in a multi-host (``OIP_DIST_*``)
+launch each process writes only its own rows into the shared files — the
+multi-chip scaling path for the flagship program.
 
 Fast-mode semantics (documented in ops/resample / models/device_pipeline):
 within 1 DN of the file-materialised parity pipelines.  This resident
@@ -185,6 +187,14 @@ def _run_scene(
 
     if mesh < 0:
         raise ValueError(f"mesh must be >= 0, got {mesh}")
+    if jax.process_count() > 1 and not mesh:
+        # without a mesh every process would run the whole scene redundantly
+        # and race on the same output files
+        raise RuntimeError(
+            f"multi-host scene run ({jax.process_count()} processes) "
+            "requires --mesh N so strips shard across the processes' "
+            "devices and each process drains only its own rows"
+        )
     if mesh and len(jax.devices()) < mesh:
         raise RuntimeError(
             f"--mesh {mesh} needs {mesh} devices, only "
@@ -275,6 +285,14 @@ def _run_scene(
     order = [2, 1, 0, 3] if bgr_tiff_order else [0, 1, 2, 3]
 
     def write_aligned_tiff(path, arr, rows):
+        if mesh_obj is not None:
+            # offset-write drain: byte-identical to the sequential writer
+            # for uncompressed strip TIFFs (io.tiff.create_tiff_shell) and
+            # multi-host capable — each process writes only its own shards
+            from ..parallel.distributed import drain_line_sharded_to_tiff
+
+            drain_line_sharded_to_tiff(arr, path, total=rows, order=order)
+            return
         writer = tiff_io.TiffStripWriter(
             path, band_px, rows, samples=MSS_BANDS
         )
@@ -295,8 +313,25 @@ def _run_scene(
             out_dir or os.getcwd(),
             f"stitched_{st_w}n{BYTES_PER_PIXEL * 8}b{TIFF_FILE_EXT}",
         )
+    out_is_tiff = os.path.splitext(out_stitched)[1].lower() in (
+        ".tiff", ".tif",
+    )
     with stage("scene_write_stitched", stitched.size * 2):
-        if os.path.splitext(out_stitched)[1].lower() in (".tiff", ".tif"):
+        if mesh_obj is not None:
+            from ..parallel.distributed import (
+                drain_line_sharded_to_raw,
+                drain_line_sharded_to_tiff,
+            )
+
+            if out_is_tiff:
+                drain_line_sharded_to_tiff(
+                    stitched, out_stitched, total=p1.lines
+                )
+            else:
+                drain_line_sharded_to_raw(
+                    stitched, out_stitched, st_w, total=p1.lines
+                )
+        elif out_is_tiff:
             writer = tiff_io.TiffStripWriter(
                 out_stitched, st_w, p1.lines, samples=1
             )
@@ -353,24 +388,39 @@ def _run_scene(
             out_dir or os.getcwd(), f"stitched-MSS{TIFF_FILE_EXT}"
         )
     with stage("scene_write_stitched_mss", aligned.size * 4):
-        writer = tiff_io.TiffStripWriter(
-            out_stitched_mss, 2 * half, ms.lines,
-            samples=MSS_BANDS,
-        )
-        # both rasters share the mesh/sharding, so their row blocks pair up
-        for b1, b2 in zip(
-            _row_blocks(aligned, ms.lines), _row_blocks(aligned2, ms2.lines)
-        ):
-            writer.write_rows(
-                np.concatenate(
-                    [
-                        b1[:, :half, order],
-                        b2[:, foldm_half:, order],
-                    ],
-                    axis=1,
+        if mesh_obj is not None:
+            # seam-concat on device (both rasters share the line sharding;
+            # the concat keeps it), then offset-drain — multi-host capable
+            from ..parallel.distributed import drain_line_sharded_to_tiff
+
+            stitched_mss = jax.jit(
+                lambda a, b: jnp.concatenate(
+                    [a[:, :half, :], b[:, foldm_half:, :]], axis=1
                 )
+            )(aligned, aligned2)
+            drain_line_sharded_to_tiff(
+                stitched_mss, out_stitched_mss, total=ms.lines, order=order
             )
-        writer.close()
+        else:
+            writer = tiff_io.TiffStripWriter(
+                out_stitched_mss, 2 * half, ms.lines,
+                samples=MSS_BANDS,
+            )
+            # both rasters share the sharding, so their row blocks pair up
+            for b1, b2 in zip(
+                _row_blocks(aligned, ms.lines),
+                _row_blocks(aligned2, ms2.lines),
+            ):
+                writer.write_rows(
+                    np.concatenate(
+                        [
+                            b1[:, :half, order],
+                            b2[:, foldm_half:, order],
+                        ],
+                        axis=1,
+                    )
+                )
+            writer.close()
     olog("Stitched MSS written to %s", out_stitched_mss)
     outs.update(
         {"aligned2": aligned2_path, "stitched_mss": out_stitched_mss}

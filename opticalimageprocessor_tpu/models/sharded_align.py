@@ -179,11 +179,14 @@ def run_sharded_align(
     out_rows = total_rows - start
     if not write_tiff:
         if multi_host:
-            raise NotImplementedError(
-                "run_sharded_align(write_tiff=False): gathering the full "
-                "aligned raster to one host is not supported in a "
-                "multi-host run; use the TIFF drain"
-            )
+            # the caller asked for a host array: replicate the raster over
+            # the mesh (an all-gather over DCN+ICI) so EVERY process
+            # returns the identical full array.  Costs one full-raster
+            # copy per device — the file drains below stay the scalable
+            # route for large scenes.
+            aligned = jax.jit(
+                lambda x: x, out_shardings=NamedSharding(mesh, P())
+            )(aligned)
         return np.asarray(aligned)[start:total_rows]
 
     path = build_output_file_path(

@@ -221,6 +221,190 @@ def drain_line_sharded_to_tiff(
     return path
 
 
+def _addressable_row_range(arr) -> tuple[int, int]:
+    """Contiguous [lo, hi) array-row range of this process's addressable
+    shards (a 1-D line mesh assigns each process one contiguous block of
+    rows; assert rather than assume)."""
+    spans = sorted(
+        (sh.index[0].start or 0,
+         sh.index[0].stop if sh.index[0].stop is not None else arr.shape[0])
+        for sh in arr.addressable_shards
+    )
+    lo, hi = spans[0][0], spans[0][1]
+    for a, b in spans[1:]:
+        if a != hi:
+            raise ValueError(
+                f"addressable shards not row-contiguous: gap at {hi}..{a}"
+            )
+        hi = b
+    return lo, hi
+
+
+def drain_line_sharded_to_tiff_lzw(
+    arr,
+    path: str,
+    total: int | None = None,
+    order: list[int] | None = None,
+    rows_per_strip: int = 512,
+    row0: int = 0,
+    photometric: int | None = None,
+    extrasamples: int | None = None,
+    predictor: bool = True,
+) -> str:
+    """Multi-host drain of a line-sharded raster to ONE LZW(+predictor-2)
+    strip TIFF — the compressed counterpart of
+    :func:`drain_line_sharded_to_tiff` (reference ancestor: the GDAL
+    LZW/PREDICTOR=2 BigTIFF writer, imageop.h:470-474, which serialises
+    compression in one process).
+
+    TIFF strips are independently compressed, so each process LZW-encodes
+    the strips whose FIRST raster row it holds (io.tiff.encode_lzw_strip —
+    identical bytes to the sequential writer) into a temp segment file;
+    boundary strips straddling a process edge are completed with spill
+    rows the next process(es) drop beside the output; then process 0
+    stitches segments + strip tables into the final file
+    (io.tiff.assemble_tiff_from_strips) — offsets are assignable once the
+    compressed sizes are known.  Decodes identically to a sequential
+    :class:`TiffStripWriter` run (and byte-identically when content
+    doesn't trip the sequential writer's first-strip expansion fallback,
+    which this drain intentionally omits: compression is file-global and
+    satellite rasters compress).
+
+    Single-process callers run the same flow without barriers or spills.
+    """
+    import jax
+    import numpy as np
+
+    from ..io.tiff import assemble_tiff_from_strips, encode_lzw_strip
+
+    if total is None:
+        total = arr.shape[0]
+    height = total - row0
+    width = arr.shape[1]
+    samples = arr.shape[2] if arr.ndim == 3 else 1
+    rps = rows_per_strip
+    n_strips = -(-height // rps)
+    multi = jax.process_count() > 1
+    me = jax.process_index()
+    nprocs = jax.process_count()
+
+    lo, hi = _addressable_row_range(arr)
+    lo_r, hi_r = max(lo, row0), min(hi, total)   # my rows in the raster
+    mine = None
+    if hi_r > lo_r:
+        blocks = []
+        for sh in sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        ):
+            a = sh.index[0].start or 0
+            b = sh.index[0].stop
+            b = arr.shape[0] if b is None else b
+            s, e = max(a, lo_r), min(b, hi_r)
+            if s < e:
+                blocks.append(np.asarray(sh.data)[s - a : e - a])
+        mine = np.concatenate(blocks) if len(blocks) > 1 else blocks[0]
+        if mine.ndim == 2:
+            mine = mine[:, :, None]
+        if order is not None:
+            mine = mine[:, :, order]
+
+    # strip k covers raster rows [k*rps, min((k+1)*rps, height)), i.e.
+    # array rows [row0 + k*rps, ...); owner = holder of the first row
+    def strip_of(array_row: int) -> int:
+        return (array_row - row0) // rps
+
+    if multi:
+        # spill: my leading rows that belong to a strip starting before my
+        # range (the strip's owner needs them to complete its last strips)
+        np.save(f"{path}.rng.{me}.npy", np.asarray([lo_r, hi_r]))
+        spill_rows = 0
+        if mine is not None and lo_r > row0 and (lo_r - row0) % rps:
+            strip_end = row0 + (strip_of(lo_r) + 1) * rps
+            spill_rows = min(strip_end, hi_r) - lo_r
+        np.save(
+            f"{path}.spill.{me}.npy",
+            mine[:spill_rows] if mine is not None
+            else np.zeros((0, width, samples), np.uint16),
+        )
+        barrier("lzw-spill:" + path)
+        ranges = [
+            np.load(f"{path}.rng.{p}.npy") for p in range(nprocs)
+        ]
+    else:
+        spill_rows = 0
+        ranges = [np.asarray([lo_r, hi_r])]
+
+    # my strips: first raster row in [lo_r, hi_r) and on my side of the
+    # first strip boundary at/after lo_r
+    k0 = strip_of(lo_r) if mine is not None else n_strips
+    if mine is not None and (lo_r - row0) % rps:
+        k0 += 1          # head strip belongs to the previous process
+    k1 = strip_of(hi_r - 1) + 1 if mine is not None and hi_r > lo_r else k0
+    k1 = min(k1, n_strips)
+
+    counts = []
+    with open(f"{path}.seg.{me}" if multi else f"{path}.seg.0", "wb") as seg:
+        spill_cache: dict[int, np.ndarray] = {}
+        for k in range(k0, k1):
+            a = row0 + k * rps
+            b = min(a + rps, total)
+            s, e = max(a, lo_r), min(b, hi_r)
+            parts = [mine[s - lo_r : e - lo_r]]
+            nxt = e
+            p = me + 1
+            while nxt < b and p < nprocs:
+                # complete a straddling strip with the next process's spill
+                plo, phi = int(ranges[p][0]), int(ranges[p][1])
+                if phi <= plo:       # process holds no raster rows
+                    p += 1
+                    continue
+                if p not in spill_cache:
+                    spill_cache[p] = np.load(f"{path}.spill.{p}.npy")
+                take = spill_cache[p][: min(b, phi) - plo]
+                if nxt != plo:
+                    raise ValueError(
+                        f"strip {k}: expected spill at row {nxt}, "
+                        f"process {p} starts at {plo}"
+                    )
+                parts.append(take)
+                nxt = plo + take.shape[0]
+                p += 1
+            strip = np.concatenate(parts) if len(parts) > 1 else parts[0]
+            if strip.shape[0] != b - a:
+                raise ValueError(
+                    f"strip {k}: assembled {strip.shape[0]} rows, "
+                    f"want {b - a}"
+                )
+            blob = encode_lzw_strip(strip, predictor=predictor)
+            counts.append(len(blob))
+            seg.write(blob)
+    np.save(f"{path}.cnt.{me}.npy", np.asarray(counts, np.int64))
+    if multi:
+        barrier("lzw-seg:" + path)
+
+    if not multi or me == 0:
+        def blobs():
+            for p in range(nprocs):
+                cnt = np.load(f"{path}.cnt.{p}.npy")
+                with open(f"{path}.seg.{p}", "rb") as f:
+                    for c in cnt:
+                        yield f.read(int(c))
+
+        assemble_tiff_from_strips(
+            path, width, height, samples, blobs(),
+            rows_per_strip=rps, predictor=predictor,
+            photometric=photometric, extrasamples=extrasamples,
+        )
+        for p in range(nprocs):
+            for side in (f"{path}.seg.{p}", f"{path}.cnt.{p}.npy",
+                         f"{path}.rng.{p}.npy", f"{path}.spill.{p}.npy"):
+                if os.path.exists(side):
+                    os.remove(side)
+    if multi:
+        barrier("lzw-done:" + path)
+    return path
+
+
 def require_single_process_drain(what: str) -> None:
     """Guard for sequential file drains that assume EVERY shard of a
     line-sharded array is addressable locally.  In a multi-process run

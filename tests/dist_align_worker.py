@@ -36,9 +36,7 @@ def main() -> None:
         run_sharded_align,
     )
 
-    path = run_sharded_align(
-        os.path.join(datadir, "P.PAN.RAW"),
-        os.path.join(datadir, "P.MSS.RAW"),
+    kwargs = dict(
         rrc_pan_file=os.path.join(datadir, "pan.rrc"),
         rrc_mss_files=tuple(
             os.path.join(datadir, f"b{i}.rrc") for i in range(1, 5)
@@ -47,10 +45,26 @@ def main() -> None:
         slices=8,
         sections=1,
         section_overlap=64,
-        out_dir=os.path.join(datadir, "out_multi"),
         pixels_per_line=512,
-        write_rrcpan=True,
     )
+    path = run_sharded_align(
+        os.path.join(datadir, "P.PAN.RAW"),
+        os.path.join(datadir, "P.MSS.RAW"),
+        out_dir=os.path.join(datadir, "out_multi"),
+        write_rrcpan=True,
+        **kwargs,
+    )
+    # write_tiff=False in a multi-host run: the raster replicates over the
+    # mesh so EVERY process returns the identical full host array
+    import numpy as np
+
+    arr = run_sharded_align(
+        os.path.join(datadir, "P.PAN.RAW"),
+        os.path.join(datadir, "P.MSS.RAW"),
+        write_tiff=False,
+        **kwargs,
+    )
+    np.save(os.path.join(datadir, f"gathered_{procid}.npy"), arr)
     print(f"align worker {procid} done: {path}", flush=True)
 
 

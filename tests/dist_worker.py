@@ -78,11 +78,49 @@ def main() -> None:
         total=pan.shape[0],
     )
 
+    # multi-host COMPRESSED drain: each process LZW-encodes the strips
+    # whose first row it holds (+ spill rows for straddles), process 0
+    # assembles the final file — byte-moving only, so the parent can
+    # require byte-identity with the sequential single-process writer
+    from jax.sharding import NamedSharding
+
+    from opticalimageprocessor_tpu.parallel.distributed import (
+        drain_line_sharded_to_tiff_lzw,
+    )
+
+    ramp = lzw_fixture()
+    total = ramp.shape[0]
+    pad = -(-total // (4 * nprocs)) * (4 * nprocs)
+    padded = np.zeros((pad,) + ramp.shape[1:], np.uint16)
+    padded[:total] = ramp
+    ramp_s = jax.make_array_from_callback(
+        padded.shape,
+        NamedSharding(mesh, P("line", None, None)),
+        lambda idx: padded[idx],
+    )
+    drain_line_sharded_to_tiff_lzw(
+        ramp_s, os.path.join(outdir, "ramp_lzw.TIFF"), total=total,
+        order=[2, 1, 0, 3], rows_per_strip=64, row0=17,
+    )
+
     barrier("dist-worker-done")
     if is_primary():
         with open(os.path.join(outdir, "DONE"), "w") as f:
             f.write("ok")
     print(f"worker {procid} done", flush=True)
+
+
+def lzw_fixture():
+    """Deterministic compressible raster for the LZW-drain byte-identity
+    gate; 411 rows so neither the mesh shards nor the 64-row strips align
+    with the 17-row trim (straddle + spill paths all exercised)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:411, 0:96]
+    return (
+        ((yy * 5 + xx // 3) % 7000 + 200).astype(np.uint16)[:, :, None]
+        + np.arange(4, dtype=np.uint16)
+    )
 
 
 def make_inputs():

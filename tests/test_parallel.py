@@ -306,6 +306,24 @@ def test_two_process_align_matches_single(tmp_path):
     )
     np.testing.assert_array_equal(drained, pan)
 
+    # the multi-host COMPRESSED drain (per-process strip LZW + process-0
+    # assembly) moves bytes only, so unlike the registration outputs it
+    # must be BYTE-identical to the sequential single-process writer
+    from opticalimageprocessor_tpu.io import tiff as tiff_io
+
+    ramp = dist_worker.lzw_fixture()
+    seq_path = str(tmp_path / "ramp_lzw_seq.TIFF")
+    w = tiff_io.TiffStripWriter(
+        seq_path, ramp.shape[1], ramp.shape[0] - 17, 4,
+        rows_per_strip=64, compression="lzw", predictor=True,
+    )
+    w.write_rows(ramp[17:][:, :, [2, 1, 0, 3]])
+    w.close()
+    with open(tmp_path / "ramp_lzw.TIFF", "rb") as fa, open(
+        seq_path, "rb"
+    ) as fb:
+        assert fa.read() == fb.read()
+
 
 def test_two_process_align_e2e_tiff_drains(tmp_path):
     """Full multi-host run_sharded_align across two spawned processes:
@@ -411,6 +429,20 @@ def test_two_process_align_e2e_tiff_drains(tmp_path):
     )
     assert a_multi.shape == a_single.shape
     diff = np.abs(a_multi.astype(np.int64) - a_single.astype(np.int64))
+    assert diff.mean() < 1.0 and diff.max() <= 8, (diff.mean(), diff.max())
+
+    # write_tiff=False multi-host: the replicate-gather returns the SAME
+    # full array on every process (byte-equal across processes), matching
+    # this process's run within the cross-device-count envelope
+    g0 = np.load(tmp_path / "gathered_0.npy")
+    g1 = np.load(tmp_path / "gathered_1.npy")
+    np.testing.assert_array_equal(g0, g1)
+    arr_single = run_sharded_align(
+        str(tmp_path / "P.PAN.RAW"), str(tmp_path / "P.MSS.RAW"),
+        write_tiff=False, **{**kwargs, "write_rrcpan": False},
+    )
+    assert g0.shape == arr_single.shape
+    diff = np.abs(g0.astype(np.int64) - arr_single.astype(np.int64))
     assert diff.mean() < 1.0 and diff.max() <= 8, (diff.mean(), diff.max())
 
 
@@ -609,6 +641,119 @@ def test_scene_cli_mesh_matches_single(tmp_path, rng):
         assert d.max() <= 1 and (d > 0).mean() < 0.01, (
             key, d.max(), (d > 0).mean(),
         )
+
+
+def test_two_process_scene_e2e_drains(tmp_path, rng):
+    """Full multi-host flagship ``scene --mesh`` across two spawned
+    processes: shard ingest, the fused SPMD scene step, the CMOS2 MSS
+    align, and ALL multi-host output drains (ALIGNED + stitched-MSS TIFFs
+    via offset writes, stitched PAN via the RAW drain) into shared files.
+
+    The stitched LEFT half is pure RRC of PAN1 (registration-free,
+    byte-exact math) so it must be byte-identical to the single-process
+    run; registration-dependent pixels (stitch right half, the ALIGNED
+    rasters) carry the documented cross-device-count envelope — on this
+    rig byte-identity there is impossible by construction: the 2-process
+    run reduces shift statistics through cross-process Gloo collectives
+    whose summation order differs from the in-process 8-device build
+    (docs/NUMERICS.md "program structures")."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    from opticalimageprocessor_tpu.formats.rrc_csv import save_rrc_params
+    from opticalimageprocessor_tpu.io import tiff as tiff_io
+    from opticalimageprocessor_tpu.models.scene import run_scene
+    from opticalimageprocessor_tpu.ops import resample
+
+    # same construction/geometry as test_scene_cli_mesh_matches_single
+    # (shapes shared with it -> in-process jit cache reuse when the module
+    # runs whole)
+    lines_pan, width, ov = 1200, 640, 32
+    lines_mss = lines_pan // 4
+    scene = rng.integers(2000, 42000, (lines_mss, width // 4)).astype(
+        np.uint16
+    )
+    pan1 = np.clip(
+        np.rint(np.asarray(resample.upsample4_f32(scene.astype(np.float32)))),
+        0, 65535,
+    ).astype(np.uint16)
+    pan2 = np.roll(np.roll(pan1, 2, axis=0), ov - 3 - width, axis=1)
+    mss = np.stack(
+        [np.roll(scene, b - 1, 1) for b in range(4)], axis=1
+    ).reshape(lines_mss, width)
+    mss2 = np.stack(
+        [np.roll(scene, b, 1) for b in range(4)], axis=1
+    ).reshape(lines_mss, width)
+    pan1.astype("<u2").tofile(tmp_path / "C1.PAN.RAW")
+    pan2.astype("<u2").tofile(tmp_path / "C2.PAN.RAW")
+    mss.astype("<u2").tofile(tmp_path / "C1.MSS.RAW")
+    mss2.astype("<u2").tofile(tmp_path / "C2.MSS.RAW")
+    save_rrc_params(
+        str(tmp_path / "pan.rrc"), np.tile([[1.01, -3.0]], (width, 1))
+    )
+
+    kw = dict(
+        rrc_pan1=str(tmp_path / "pan.rrc"),
+        rrc_pan2=str(tmp_path / "pan.rrc"),
+        mss2_file=str(tmp_path / "C2.MSS.RAW"),
+        slices=8, fold_cols=ov, stt_sections=2, pixels_per_line=width,
+    )
+    os.makedirs(tmp_path / "out_single")
+    o1 = run_scene(
+        str(tmp_path / "C1.PAN.RAW"), str(tmp_path / "C2.PAN.RAW"),
+        str(tmp_path / "C1.MSS.RAW"), out_dir=str(tmp_path / "out_single"),
+        out_stitched=str(tmp_path / "out_single" / "stitched.RAW"),
+        mesh=8, **kw,
+    )
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    os.makedirs(tmp_path / "out_multi")
+    worker = os.path.join(os.path.dirname(__file__), "dist_scene_worker.py")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(worker))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(i), "2", str(port),
+             str(tmp_path)],
+            env=env,
+        )
+        for i in range(2)
+    ]
+    try:
+        for p in procs:
+            assert p.wait(timeout=600) == 0
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    half = width - ov // 2
+    st1 = np.fromfile(o1["stitched"], "<u2").reshape(lines_pan, 2 * half)
+    st2 = np.fromfile(
+        tmp_path / "out_multi" / "stitched.RAW", "<u2"
+    ).reshape(lines_pan, 2 * half)
+    np.testing.assert_array_equal(st2[:, :half], st1[:, :half])
+    d = np.abs(st2.astype(np.int64) - st1.astype(np.int64))
+    assert d.mean() < 1.0 and d.max() <= 8, (d.mean(), d.max())
+    for key in ("aligned", "aligned2", "stitched_mss"):
+        a1 = tiff_io.read_tiff(o1[key]).astype(np.int64)
+        a2 = tiff_io.read_tiff(
+            str(tmp_path / "out_multi" / os.path.basename(o1[key]))
+        ).astype(np.int64)
+        assert a1.shape == a2.shape, key
+        d = np.abs(a1 - a2)
+        assert d.mean() < 1.0 and d.max() <= 8, (key, d.mean(), d.max())
 
 
 def test_mesh_quantized_and_rrcpan_match_host(rng, tmp_path):
