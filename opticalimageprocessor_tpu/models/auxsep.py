@@ -48,18 +48,56 @@ BYTES_PER_PANLINE = 12288 * 2
 
 
 def _decode_jp2(codestream: bytes) -> np.ndarray:
-    try:
-        import cv2
-    except ImportError as e:
+    """Decode one JPEG2000 sub-image tile to uint16.
+
+    Backend order (override with ``OIP_JP2_BACKEND=cv2|pil``): OpenCV —
+    the reference's own codec (``cv::imdecode``, aux_separator.h:383) —
+    then Pillow's OpenJPEG binding.  The downlink tiles are losslessly
+    coded (reversible 5/3), so every conforming decoder returns identical
+    pixels; the fallback removes the framework's only hard OpenCV
+    dependency (everything else is JAX/numpy/from-scratch)."""
+    backend = os.environ.get("OIP_JP2_BACKEND", "")
+    errors = []
+    if backend in ("", "cv2"):
+        try:
+            import cv2
+
+            img = cv2.imdecode(
+                np.frombuffer(codestream, dtype=np.uint8),
+                cv2.IMREAD_UNCHANGED,
+            )
+            if img is None:
+                raise ValueError("JPEG2000 decode failed")
+            return img.astype(np.uint16)
+        except ImportError as e:
+            if backend == "cv2":
+                raise RuntimeError(
+                    "OIP_JP2_BACKEND=cv2 but OpenCV is not importable"
+                ) from e
+            errors.append(f"cv2: {e}")
+    if backend in ("", "pil"):
+        try:
+            import io
+
+            from PIL import Image
+
+            img = np.asarray(Image.open(io.BytesIO(codestream)))
+            return img.astype(np.uint16)
+        except ImportError as e:
+            if backend == "pil":
+                raise RuntimeError(
+                    "OIP_JP2_BACKEND=pil but Pillow is not importable"
+                ) from e
+            errors.append(f"PIL: {e}")
+    if backend and backend not in ("cv2", "pil"):
         raise RuntimeError(
-            "JPEG2000 sub-image decoding requires OpenCV (cv2); "
-            "uncompressed downlinks work without it"
-        ) from e
-    arr = np.frombuffer(codestream, dtype=np.uint8)
-    img = cv2.imdecode(arr, cv2.IMREAD_UNCHANGED)
-    if img is None:
-        raise ValueError("JPEG2000 decode failed")
-    return img.astype(np.uint16)
+            f"unknown OIP_JP2_BACKEND={backend!r} (want cv2 or pil)"
+        )
+    raise RuntimeError(
+        "JPEG2000 sub-image decoding needs OpenCV (cv2) or Pillow with "
+        f"OpenJPEG; neither importable ({'; '.join(errors)}).  "
+        "Uncompressed downlinks work without any codec."
+    )
 
 
 @dataclass

@@ -85,3 +85,31 @@ def test_golden_parity_remap(outputs, expected):
         )
     )
     assert _sha(out.astype("<u2")) == expected["remap_band0_sha"]
+
+
+@pytest.mark.parametrize("backend", ["cv2", "pil"])
+def test_golden_jp2_downlink(tmp_path, expected, backend, monkeypatch):
+    """The committed JP2-COMPRESSED downlink (losslessly-coded tiles,
+    aux_separator.h:374-393's codec path) must decode to the SAME rasters
+    as the raw-tile fixture — under both JP2 backends (the reference's
+    own cv2, and the Pillow/OpenJPEG fallback that removes the last hard
+    OpenCV dependency)."""
+    pytest.importorskip("cv2" if backend == "cv2" else "PIL")
+    if backend == "pil":
+        from PIL import features
+
+        if not features.check("jpg_2000"):
+            pytest.skip("Pillow built without OpenJPEG")
+    from opticalimageprocessor_tpu.models.auxsep import AuxSeparator
+
+    monkeypatch.setenv("OIP_JP2_BACKEND", backend)
+    dat = str(tmp_path / "KASHI_TJ3-01_20220817_031259_1.dat")
+    with gzip.open(os.path.join(GOLDEN, "golden_jp2.dat.gz")) as f:
+        raw = f.read()
+    assert len(raw) == expected["aos_jp2_bytes"]
+    with open(dat, "wb") as g:
+        g.write(raw)
+    outs = AuxSeparator(dat, out_dir=str(tmp_path)).separate()
+    assert _sha_file(outs["pan"]) == expected["pan_sha"]
+    assert _sha_file(outs["mss"]) == expected["mss_sha"]
+    assert _sha_file(outs["aux"]) == expected["aux_sha"]

@@ -58,17 +58,30 @@ def main() -> None:
     mss[ys % 256, xs] = rng.integers(0, 65536, 2000).astype(np.uint16)
     aux = bytes((np.arange(aos.IMGSIG_AUX_ALLBYTES) % 251).astype(np.uint8))
 
+    def wire(imdt_bytes: bytes) -> bytes:
+        imtr = b"".join(
+            aos.build_imtr_frame(pl, i + 1)
+            for i, pl in enumerate(
+                aos.split_stream_into_imtr_payload(imdt_bytes)
+            )
+        )
+        return b"".join(
+            aos.build_aos_frame(pl, i)
+            for i, pl in enumerate(aos.split_stream_into_aos_payload(imtr))
+        )
+
     imdt = aos.build_image_frame(pan, mss, seq=1, aux=aux)
-    imtr = b"".join(
-        aos.build_imtr_frame(pl, i + 1)
-        for i, pl in enumerate(aos.split_stream_into_imtr_payload(imdt))
-    )
-    stream = b"".join(
-        aos.build_aos_frame(pl, i)
-        for i, pl in enumerate(aos.split_stream_into_aos_payload(imtr))
-    )
+    stream = wire(imdt)
     with gzip.open(os.path.join(OUT, "golden.dat.gz"), "wb", 9) as f:
         f.write(stream)
+
+    # --- JP2-compressed variant: same rasters, losslessly-coded tiles ---
+    # (decoding is reversible, so the expected PAN/MSS/AUX hashes are the
+    # SAME as the raw fixture's — only the wire bytes differ)
+    imdt_jp2 = aos.build_image_frame(pan, mss, seq=1, aux=aux, compress="jp2")
+    stream_jp2 = wire(imdt_jp2)
+    with gzip.open(os.path.join(OUT, "golden_jp2.dat.gz"), "wb", 9) as f:
+        f.write(stream_jp2)
 
     # --- RRC params + expected RRC'd PAN --------------------------------
     k = 1.0 + ((np.arange(12288) % 64) - 32) / 4096.0
@@ -111,6 +124,7 @@ def main() -> None:
         "imdt_sha": sha(
             imdt + bytes(-len(imdt) % aos.IMTR_IMGDATA_BYTES)
         ),
+        "aos_jp2_bytes": len(stream_jp2),
         "pan_rrc_sha": sha(pan_rrc.astype("<u2")),
         "remap_band0_sha": sha(remapped.astype("<u2")),
         "remap_coeff_x": coeff_x,
