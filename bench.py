@@ -7,8 +7,8 @@ Baseline (BASELINE.json north star): >= 2 Gpix/s/chip.  Runs the library's
 fused device pipeline (models/device_pipeline.make_device_pipeline) on a
 synthetic HBM-resident scene: RRC both sensors, sections x slices
 registration sampling, 4-band alignment resample, prestitch resample,
-seam concat.  OIP_BENCH_LINES scales the scene (default 32768 lines;
-65536 = the multi-GB BASELINE config).
+seam concat.  OIP_BENCH_LINES scales the scene (default 65536 lines —
+the multi-GB BASELINE config 5; 32768 reproduces the round-4 artifact).
 
 Pixels counted = every input pixel, exactly once: PAN1 (RRC + registration
 + stitch left half) + PAN2 (its own RRC + on-device stt-parameter
@@ -182,7 +182,10 @@ def run_bench(plat: str | None) -> None:
         from opticalimageprocessor_tpu.ops import fft_mxu
 
         fft_mxu.set_stage_dtype(jnp.bfloat16)  # fast mode: <2e-3 px effect
-        lines_pan = int(os.environ.get("OIP_BENCH_LINES", 32768))
+        # default = the multi-GB BASELINE config 5 (65536 lines, ~1.6 GB
+        # PAN strips): the flagship claim AND the harder configuration —
+        # the driver-banked number covers it, not just the mid-size scene
+        lines_pan = int(os.environ.get("OIP_BENCH_LINES", 65536))
         slices, n_iters = 10, 8
     else:  # CI/CPU smoke mode
         lines_pan = int(os.environ.get("OIP_BENCH_LINES", 2048))
@@ -260,6 +263,13 @@ def run_bench(plat: str | None) -> None:
         + lines_pan * PIXELS_PER_LINE                 # PAN2
         + MSS_BANDS * lines_mss * PIXELS_PER_MSSBAND  # MSS
     )
+
+    if os.environ.get("OIP_BENCH_MODE") == "stream":
+        _run_streamed_sections(
+            pan1, pan2, mss, pan1_params, pan2_params, mss_params,
+            n_iters, px, lines_pan,
+        )
+        return
 
     if staged:
         _run_staged_large(
@@ -353,6 +363,176 @@ def _adaptive_windows(one_window, n_iters, max_windows=6, tol=0.02):
         if len(dts) >= 3 and sorted(dts)[1] <= min(dts) * (1 + tol):
             break
     return min(dts), dts
+
+
+def _run_streamed_sections(
+    pan1, pan2, mss, pan1_params, pan2_params, mss_params,
+    n_iters, px, lines_pan,
+    section_rows: int = 4096,
+):
+    """OIP_BENCH_MODE=stream: throughput of the *streamed* section pipeline
+    (models/scene_stream's per-section transform step — the bounded-memory
+    route for scenes beyond HBM), fed at device rate.
+
+    The host->HBM feed is replaced by on-device section slicing from
+    device-resident strips (the same trick the resident bench uses for its
+    inputs): through the hosted tunnel the host link runs at ~10-40 MB/s,
+    which measures the tunnel, not the design — production hosts feed
+    sections over PCIe/DCN at GB/s, which the double-buffered streamer
+    overlaps with compute (io/streaming.py).  What IS measured: the
+    production per-section jit program (RRC + banded alignment resample +
+    constant-shift prestitch remap + seam concat at col_block=128/
+    col_halo=16), section-to-section pipelining at depth 2, and the HBM
+    high-water of the bounded working set.  Registration/stt estimation
+    (sampled windows, negligible work) uses fixed fitted constants.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from opticalimageprocessor_tpu.constants import MSS_BANDS
+    from opticalimageprocessor_tpu.models.scene_stream import (
+        _section_step_fn,
+    )
+
+    section_rows = int(
+        os.environ.get("OIP_BENCH_STREAM_SECTION_ROWS", section_rows)
+    )
+    depth = int(os.environ.get("OIP_BENCH_STREAM_DEPTH", 2))
+    section_rows = min(section_rows, lines_pan)
+    assert lines_pan % section_rows == 0, (lines_pan, section_rows)
+    n_secs = lines_pan // section_rows
+    sec_b = section_rows // MSS_BANDS
+    row_bound, prestt_row_bound = 3, 8
+    halo_b, halo_p = row_bound + 2, prestt_row_bound + 2
+    static = dict(
+        fold=100, chunk_rows=512, row_bound=row_bound,
+        prestt_row_bound=prestt_row_bound, col_block=128, col_halo=16,
+    )
+    lines_mss = lines_pan // MSS_BANDS
+
+    # pre-pad pan2/mss with the halo rows once, so per-section slices are
+    # always in bounds (the real streamer reads true neighbour rows from
+    # the file; the masks below reproduce its beyond-strip flags)
+    @jax.jit
+    def pad_inputs(pan2, mss):
+        p2p = jnp.concatenate(
+            [
+                jnp.zeros((halo_p, pan2.shape[1]), pan2.dtype),
+                pan2,
+                jnp.zeros((halo_p, pan2.shape[1]), pan2.dtype),
+            ]
+        )
+        msp = jnp.concatenate(
+            [
+                jnp.zeros((MSS_BANDS, halo_b, mss.shape[2]), mss.dtype),
+                mss,
+                jnp.zeros((MSS_BANDS, halo_b, mss.shape[2]), mss.dtype),
+            ],
+            axis=1,
+        )
+        return p2p, msp
+
+    pan2_pad, mss_pad = pad_inputs(pan2, mss)
+    del pan2, mss
+
+    @jax.jit
+    def feed(pan1, pan2_pad, mss_pad, a):
+        ab = a // MSS_BANDS
+        p1_sec = jax.lax.dynamic_slice(
+            pan1, (a, 0), (section_rows, pan1.shape[1])
+        )
+        p2_sec = jax.lax.dynamic_slice(
+            pan2_pad, (a, 0),
+            (section_rows + 2 * halo_p, pan2_pad.shape[1]),
+        )
+        mss_sec = jax.lax.dynamic_slice(
+            mss_pad, (0, ab, 0),
+            (MSS_BANDS, sec_b + 2 * halo_b, mss_pad.shape[2]),
+        )
+        p2m = jnp.arange(-halo_p, section_rows + halo_p) + a
+        p2m = (p2m >= 0) & (p2m < lines_pan)
+        msm = jnp.arange(-halo_b, sec_b + halo_b) + ab
+        msm = (msm >= 0) & (msm < lines_mss)
+        return p1_sec, p2_sec, mss_sec, p2m, msm
+
+    step = _section_step_fn()
+    coeff_x = jnp.asarray(
+        np.tile([[1.5, 2.5e-4]], (MSS_BANDS, 1)), jnp.float32
+    )
+    coeff_y = jnp.asarray(
+        np.tile([[-0.75, 1.0e-4, 1.0e-8]], (MSS_BANDS, 1)), jnp.float32
+    )
+    dxs, dys = jnp.float32(-2.3), jnp.float32(1.4)
+
+    def one_section(a):
+        args = feed(pan1, pan2_pad, mss_pad, jnp.int32(a))
+        return step(
+            args[0], args[1], args[2], args[3], args[4],
+            pan1_params, pan2_params, mss_params, coeff_x, coeff_y,
+            dxs, dys, **static,
+        )
+
+    def one_scene(probe):
+        """All sections of one scene, ``depth`` in flight; every section's
+        outputs are materialised in HBM and probed back to the host."""
+        from collections import deque
+
+        inflight = deque()
+        done = 0
+        for k in range(n_secs):
+            inflight.append(one_section(k * section_rows))
+            if len(inflight) >= depth:
+                al, st, pr = inflight.popleft()
+                jax.block_until_ready(st)
+                probe(st, done)
+                done += 1
+        while inflight:
+            al, st, pr = inflight.popleft()
+            jax.block_until_ready(st)
+            probe(st, done)
+            done += 1
+
+    def probe(st, i):
+        _ = np.asarray(st[i % 7, i % 5])
+
+    one_scene(probe)  # warmup (compile feed + step)
+
+    times = []
+    for it in range(n_iters):
+        t0 = time.perf_counter()
+        one_scene(probe)
+        times.append(time.perf_counter() - t0)
+
+    def one_window():
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            one_scene(probe)
+        return time.perf_counter() - t0
+
+    dt, window_dts = _adaptive_windows(one_window, n_iters)
+
+    hbm_peak = None
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        hbm_peak = round(peak / 2**30, 2) if peak else None
+    except Exception:
+        pass
+    print("serialized scene times:", [round(t, 4) for t in times],
+          file=sys.stderr)
+    print(
+        f"streamed-sections: {dt * 1e3:.1f} ms/scene ({n_secs} x "
+        f"{section_rows}-line sections; windows "
+        f"{[round(w * 1e3, 1) for w in window_dts]}; HBM peak "
+        f"{hbm_peak} GiB)",
+        file=sys.stderr,
+    )
+    _emit(
+        round(px / dt / 1e9, 3), lines=lines_pan,
+        timing="streamed-sections", sections=n_secs, depth=depth,
+        windows_ms=[round(w * 1e3, 1) for w in window_dts],
+        hbm_peak_gib=hbm_peak,
+    )
 
 
 def _run_staged_large(

@@ -102,6 +102,13 @@ def register_fast(
     restricted to ``win`` — deviations measured ~0.015 px.
     ``exact_sizes=True`` restores the OpenCV padding and explicit upsample.
 
+    ``section_batch`` and ``unroll`` are mutually exclusive scheduling
+    knobs for the tile loop; when both are set (and the fused kernel is
+    active), ``section_batch`` wins and ``unroll`` is ignored — the
+    batched tile-grid path replaces the scan the unroll factor would
+    apply to.  Both lose to the plain ``lax.map`` on v5e (docs/PERF.md
+    dead ends); they stay as opt-in A/B knobs for future hardware.
+
     On TPU (``use_fused`` defaulting True there) the band side runs through
     the fused Pallas cross-power kernel
     (ops/phasecorr_pallas.windowed_crosspower_fused): the upsampled band

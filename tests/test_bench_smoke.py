@@ -28,3 +28,29 @@ def test_bench_cpu_smoke():
     assert rec["timing"] in ("pipelined", "serialized")
     assert rec["lines"] > 0
     assert "synth" not in rec
+
+
+def test_bench_stream_mode_cpu_smoke():
+    """OIP_BENCH_MODE=stream: the streamed-sections bench (the scenes->HBM
+    design artifact) must run end-to-end and label its run mode."""
+    import os
+
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        env={
+            **os.environ,
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+            "OIP_BENCH_MODE": "stream",
+            "OIP_BENCH_LINES": "1024",
+        },
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["value"] > 0
+    assert rec["timing"] == "streamed-sections"
+    assert rec["sections"] >= 1
