@@ -54,6 +54,9 @@ def average_valid_deltas(
     Shared by the host :class:`Stitcher` and the multi-chip prestitch."""
     olog("Calculating stitching delta values ...")
     rlog("| offset |  delta x |  delta y | response | r |")
+    # one batched device->host transfer per array (not one per element —
+    # each scalar readback pays a full host<->device round trip)
+    dxs, dys, rss = np.asarray(dxs), np.asarray(dys), np.asarray(rss)
     sx = sy = sr = 0.0
     valid = 0
     for i in range(len(offs)):
