@@ -390,9 +390,6 @@ def _run_streamed_sections(
     import jax.numpy as jnp
 
     from opticalimageprocessor_tpu.constants import MSS_BANDS
-    from opticalimageprocessor_tpu.models.scene_stream import (
-        _section_step_fn,
-    )
 
     section_rows = int(
         os.environ.get("OIP_BENCH_STREAM_SECTION_ROWS", section_rows)
@@ -435,8 +432,24 @@ def _run_streamed_sections(
     pan2_pad, mss_pad = pad_inputs(pan2, mss)
     del pan2, mss
 
+    from opticalimageprocessor_tpu.models.scene_stream import _section_math
+
+    coeff_x = jnp.asarray(
+        np.tile([[1.5, 2.5e-4]], (MSS_BANDS, 1)), jnp.float32
+    )
+    coeff_y = jnp.asarray(
+        np.tile([[-0.75, 1.0e-4, 1.0e-8]], (MSS_BANDS, 1)), jnp.float32
+    )
+    dxs, dys = jnp.float32(-2.3), jnp.float32(1.4)
+
+    # feed + section step in ONE jitted program per section (the section
+    # offset is a traced scalar, so every section runs the same
+    # executable): one host dispatch per section instead of two — through
+    # the tunnel each dispatch costs tens of ms, and the production
+    # streamer amortises dispatch the same way (one step call per section)
     @jax.jit
-    def feed(pan1, pan2_pad, mss_pad, a):
+    def section_prog(pan1, pan2_pad, mss_pad, a,
+                     pan1_params, pan2_params, mss_params):
         ab = a // MSS_BANDS
         p1_sec = jax.lax.dynamic_slice(
             pan1, (a, 0), (section_rows, pan1.shape[1])
@@ -453,23 +466,16 @@ def _run_streamed_sections(
         p2m = (p2m >= 0) & (p2m < lines_pan)
         msm = jnp.arange(-halo_b, sec_b + halo_b) + ab
         msm = (msm >= 0) & (msm < lines_mss)
-        return p1_sec, p2_sec, mss_sec, p2m, msm
-
-    step = _section_step_fn()
-    coeff_x = jnp.asarray(
-        np.tile([[1.5, 2.5e-4]], (MSS_BANDS, 1)), jnp.float32
-    )
-    coeff_y = jnp.asarray(
-        np.tile([[-0.75, 1.0e-4, 1.0e-8]], (MSS_BANDS, 1)), jnp.float32
-    )
-    dxs, dys = jnp.float32(-2.3), jnp.float32(1.4)
-
-    def one_section(a):
-        args = feed(pan1, pan2_pad, mss_pad, jnp.int32(a))
-        return step(
-            args[0], args[1], args[2], args[3], args[4],
+        return _section_math(
+            p1_sec, p2_sec, mss_sec, p2m, msm,
             pan1_params, pan2_params, mss_params, coeff_x, coeff_y,
             dxs, dys, **static,
+        )
+
+    def one_section(a):
+        return section_prog(
+            pan1, pan2_pad, mss_pad, jnp.int32(a),
+            pan1_params, pan2_params, mss_params,
         )
 
     def one_scene(probe):
