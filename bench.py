@@ -265,8 +265,14 @@ def run_bench(plat: str | None) -> None:
     )
 
     if os.environ.get("OIP_BENCH_MODE") == "stream":
+        # hand the strips over in a container and drop our own names, so
+        # the callee's post-padding `del` actually frees the unpadded
+        # pan2/mss device buffers (~2 GB) instead of leaving this frame's
+        # references pinning them for the whole measurement
+        strips = [pan1, pan2, mss]
+        del pan1, pan2, mss
         _run_streamed_sections(
-            pan1, pan2, mss, pan1_params, pan2_params, mss_params,
+            strips, pan1_params, pan2_params, mss_params,
             n_iters, px, lines_pan,
         )
         return
@@ -366,7 +372,7 @@ def _adaptive_windows(one_window, n_iters, max_windows=6, tol=0.02):
 
 
 def _run_streamed_sections(
-    pan1, pan2, mss, pan1_params, pan2_params, mss_params,
+    strips, pan1_params, pan2_params, mss_params,
     n_iters, px, lines_pan,
     section_rows: int = 4096,
 ):
@@ -390,6 +396,9 @@ def _run_streamed_sections(
     import jax.numpy as jnp
 
     from opticalimageprocessor_tpu.constants import MSS_BANDS
+
+    pan1, pan2, mss = strips
+    strips.clear()  # no references left behind the upcoming `del`
 
     section_rows = int(
         os.environ.get("OIP_BENCH_STREAM_SECTION_ROWS", section_rows)

@@ -83,12 +83,16 @@ def _decode_jp2(codestream: bytes) -> np.ndarray:
 
             img = np.asarray(Image.open(io.BytesIO(codestream)))
             return img.astype(np.uint16)
-        except ImportError as e:
+        except Exception as e:
+            # not just ImportError: Pillow built WITHOUT OpenJPEG raises
+            # UnidentifiedImageError from Image.open — either way this
+            # backend is unusable here and the diagnostic below must fire
             if backend == "pil":
                 raise RuntimeError(
-                    "OIP_JP2_BACKEND=pil but Pillow is not importable"
+                    "OIP_JP2_BACKEND=pil but Pillow cannot decode "
+                    f"JPEG2000 here ({type(e).__name__}: {e})"
                 ) from e
-            errors.append(f"PIL: {e}")
+            errors.append(f"PIL: {type(e).__name__}: {e}")
     if backend and backend not in ("cv2", "pil"):
         raise RuntimeError(
             f"unknown OIP_JP2_BACKEND={backend!r} (want cv2 or pil)"

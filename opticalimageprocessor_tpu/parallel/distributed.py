@@ -303,6 +303,11 @@ def drain_line_sharded_to_tiff_lzw(
             if s < e:
                 blocks.append(np.asarray(sh.data)[s - a : e - a])
         mine = np.concatenate(blocks) if len(blocks) > 1 else blocks[0]
+        # same coercion as the sibling drains: little-endian uint16 is
+        # what encode_lzw_strip/assemble_tiff_from_strips' uint16 IFD
+        # promises (a float intermediate would otherwise compress raw
+        # float bytes under a BITSPERSAMPLE=16 header)
+        mine = np.ascontiguousarray(mine, dtype="<u2")
         if mine.ndim == 2:
             mine = mine[:, :, None]
         if order is not None:
@@ -330,6 +335,23 @@ def drain_line_sharded_to_tiff_lzw(
         ranges = [
             np.load(f"{path}.rng.{p}.npy") for p in range(nprocs)
         ]
+        # segments are concatenated in process order at assembly, so the
+        # process->row placement must be ascending — assert rather than
+        # assume (a permuted mesh would otherwise produce a decodable
+        # TIFF with its row blocks swapped, silently)
+        prev_hi = None
+        for p in range(nprocs):
+            plo, phi = int(ranges[p][0]), int(ranges[p][1])
+            if phi <= plo:
+                continue
+            if prev_hi is not None and plo < prev_hi:
+                raise ValueError(
+                    "line-sharded processes are not in ascending raster-"
+                    f"row order (process {p} starts at row {plo}, before "
+                    f"a previous process's end {prev_hi}); the LZW drain "
+                    "requires process index order == row order"
+                )
+            prev_hi = phi
     else:
         spill_rows = 0
         ranges = [np.asarray([lo_r, hi_r])]
