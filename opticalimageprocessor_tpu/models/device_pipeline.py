@@ -82,13 +82,18 @@ def register_fast(
     section_batch: int | None = None,
     interpret: bool = False,
     unroll: int = 1,
+    mss_params: jax.Array | None = None,
 ):
     """Fast registration: per-(section, slice) windowed phase correlation.
 
     ``pan_c``: (L_pan, W) uint16 (RRC'd) — or the RAW strip when
     ``pan_params`` is given, in which case each sampled tile is RRC'd
     inline (identical per-pixel math; the corrected full strip is never
-    materialised in HBM).  ``mss_c``: (4, L_mss, W/4) uint16.
+    materialised in HBM).  ``mss_c``: (4, L_mss, W/4) uint16 — or the RAW
+    band strips when ``mss_params`` (4, 6, W/4) is given, in which case
+    each sampled band tile is RRC'd inline the same way (the staged
+    estimate uses this: its transform re-corrects the full bands anyway,
+    so correcting them here would be pure wasted HBM traffic).
     Returns (coeffs, n_valid): per-band (coeff_x[2], coeff_y[3]) fitted on
     the device over samples with response >= ``threshold`` (the reference's
     0.4 filter, oipshared.h:35 + preproc.h:492-503), and the per-band valid
@@ -185,6 +190,16 @@ def register_fast(
                 (0, row0 // MSS_BANDS, i * bcols),
                 (MSS_BANDS, brows, bcols),
             )
+            if mss_params is not None:
+                from ..ops.rrc import _rrc_math
+
+                mp = jax.lax.dynamic_slice(
+                    mss_params, (0, 0, i * bcols), (MSS_BANDS, 6, bcols)
+                )
+                bt4 = _rrc_math(
+                    bt4.astype(jnp.int32),
+                    *[mp[:, k][:, None, :] for k in range(6)],
+                ).astype(jnp.uint16)
             fbr4, fbi4 = phasecorr.band_full_spectrum_small(bt4)
             return windowed_crosspower_fused_bands(
                 far, fai, fbr4, fbi4, pad, brows, win[0], win[1], interpret
@@ -194,6 +209,16 @@ def register_fast(
             bt = jax.lax.dynamic_slice(
                 mss_c, (band, row0 // MSS_BANDS, i * bcols), (1, brows, bcols)
             )[0]
+            if mss_params is not None:
+                from ..ops.rrc import _rrc_math
+
+                mp = jax.lax.dynamic_slice(
+                    mss_params, (band, 0, i * bcols), (1, 6, bcols)
+                )[0]
+                bt = _rrc_math(
+                    bt.astype(jnp.int32),
+                    *[mp[k][None, :] for k in range(6)],
+                ).astype(jnp.uint16)
             if exact_sizes:
                 up = resample.upsample4_f32(bt.astype(jnp.float32))
                 fbr, fbi = phasecorr.rfft2_padded(up, pad, True)
@@ -218,7 +243,7 @@ def register_fast(
         dx, dy, rs = _register_tiles_batched(
             pan_c, mss_c, pan_params, slices, n_sections, corr_rows, cols,
             brows, bcols, pad, win, sec_stride,
-            min(section_batch, slices), interpret,
+            min(section_batch, slices), interpret, mss_params,
         )
     elif unroll > 1:
         # lax.map is scan-of-batch-1; unrolling the scan body lets XLA
@@ -254,6 +279,7 @@ def register_fast(
 def _register_tiles_batched(
     pan_c, mss_c, pan_params, slices, n_sections, corr_rows, cols,
     brows, bcols, pad, win, sec_stride, group, interpret,
+    mss_params=None,
 ):
     """Tile-grid-batched registration core: per section, extract the
     contiguous sampled row block once, reshape it into the slice tiles,
@@ -287,6 +313,14 @@ def _register_tiles_batched(
             bt = mss_c[
                 :, brow0:brow0 + brows, s0 * bcols:(s0 + gs) * bcols
             ]
+            if mss_params is not None:
+                from ..ops.rrc import _rrc_math
+
+                mp = mss_params[:, :, s0 * bcols:(s0 + gs) * bcols]
+                bt = _rrc_math(
+                    bt.astype(jnp.int32),
+                    *[mp[:, k][:, None, :] for k in range(6)],
+                ).astype(jnp.uint16)
             bts = jnp.transpose(
                 bt.reshape(MSS_BANDS, brows, gs, bcols), (2, 0, 1, 3)
             )
@@ -480,6 +514,47 @@ def make_device_pipeline(
     return pipeline
 
 
+def make_scene_estimate(
+    slices: int = 10,
+    n_sections: int | None = None,
+    stt_sections: int = 10,
+    stt_lines: int | None = None,
+    overlap_cols: int = 200,
+    stt_threshold: float = IBCV_DEF_THRESHOLD,
+    stt_max_delta_y: float = 0.0,
+    threshold: float = IBCV_DEF_THRESHOLD,
+):
+    """The scene's parameter-estimation program over its MINIMAL inputs:
+    ``estimate(pan1, pan2_left, mss, pan1_params, mss_params)`` where
+    ``pan2_left`` is PAN2's left ``overlap_cols`` columns — the only part
+    of PAN2 the stt sampling reads (stitcher.h:148-201 correlates the
+    CMOS overlap strips only).  Both strips stay RAW: register_fast RRCs
+    only the sampled tiles inline (bit-identical per-pixel math) — the
+    transform re-corrects the full bands anyway, so a full-strip RRC here
+    is wasted HBM traffic (~9 ms device time at 65536 lines, measured).
+
+    :func:`make_device_pipeline_staged`'s estimate delegates here; section
+    drivers that keep PAN2 only in halo-padded form (bench.py's sectioned
+    schedule) call this directly with a persistent narrow PAN2 copy.
+    """
+
+    @jax.jit
+    def estimate(pan1, pan2_left, mss, pan1_params, mss_params):
+        coeffs, n_valid = register_fast(
+            pan1, mss, slices, n_sections, threshold=threshold,
+            pan_params=pan1_params, mss_params=mss_params,
+        )
+        raw_dx, raw_dy, _resp, n_stt = stt_estimate_fast(
+            pan1, pan2_left, stt_sections, stt_lines, overlap_cols,
+            threshold=stt_threshold, max_delta_y=stt_max_delta_y,
+        )
+        cx = jnp.stack([coeffs[i][0] for i in range(MSS_BANDS)])
+        cy = jnp.stack([coeffs[i][1] for i in range(MSS_BANDS)])
+        return cx, cy, n_valid, raw_dx, raw_dy, n_stt
+
+    return estimate
+
+
 def make_device_pipeline_staged(
     slices: int = 10,
     n_sections: int | None = None,
@@ -526,22 +601,21 @@ def make_device_pipeline_staged(
     invalidated by the call).
     """
 
+    estimate_narrow = make_scene_estimate(
+        slices=slices, n_sections=n_sections, stt_sections=stt_sections,
+        stt_lines=stt_lines, overlap_cols=overlap_cols,
+        stt_threshold=stt_threshold, stt_max_delta_y=stt_max_delta_y,
+        threshold=threshold,
+    )
+
     @jax.jit
     def estimate(pan1, pan2, mss, pan1_params, mss_params):
-        mss_c = jnp.stack(
-            [rrc.rrc_apply(mss[i], mss_params[i]) for i in range(MSS_BANDS)]
+        # only PAN2's left overlap columns feed the stt sampling, so the
+        # shared narrow-input estimate body sees a small in-jit slice
+        # (identical sampled windows -> bit-identical result)
+        return estimate_narrow(
+            pan1, pan2[:, :overlap_cols], mss, pan1_params, mss_params
         )
-        coeffs, n_valid = register_fast(
-            pan1, mss_c, slices, n_sections, threshold=threshold,
-            pan_params=pan1_params,
-        )
-        raw_dx, raw_dy, _resp, n_stt = stt_estimate_fast(
-            pan1, pan2, stt_sections, stt_lines, overlap_cols,
-            threshold=stt_threshold, max_delta_y=stt_max_delta_y,
-        )
-        cx = jnp.stack([coeffs[i][0] for i in range(MSS_BANDS)])
-        cy = jnp.stack([coeffs[i][1] for i in range(MSS_BANDS)])
-        return cx, cy, n_valid, raw_dx, raw_dy, n_stt
 
     def _transform(
         pan1, pan2, mss, pan1_params, pan2_params, mss_params,

@@ -78,6 +78,48 @@ def test_register_fast_tile_batched_matches_per_tile(rng):
                 assert d < 1e-4, (label, b, k, d)
 
 
+def test_register_fast_inline_mss_rrc_matches_precorrected(rng):
+    """``mss_params`` RRCs only the sampled band tiles inline (the staged
+    estimate's path — the full corrected bands are never materialised);
+    the coefficients must be bit-identical to registering against
+    fully-RRC'd band strips, on the unfused, fused(interpret) and
+    tile-batched paths alike."""
+    from opticalimageprocessor_tpu.ops import rrc
+
+    lines_mss, band_px = 512, 3072 // 4
+    scene, pan = _scene_pair(rng, lines_mss, band_px)
+    mss = np.stack([np.roll(scene, b - 2, 1) for b in range(4)])
+    mp = jnp.asarray(
+        np.stack(
+            [
+                rrc.split_rrc_params(
+                    0.99 + 0.02 * rng.random(band_px),
+                    rng.normal(0, 10, band_px),
+                )
+                for _ in range(4)
+            ]
+        )
+    )
+    mss_d = jnp.asarray(mss)
+    mss_c = jnp.stack([rrc.rrc_apply(mss_d[b], mp[b]) for b in range(4)])
+    kw = dict(slices=8, n_sections=1, win=(16, 16))
+    for extra in (
+        dict(use_fused=False),
+        dict(use_fused=True, interpret=True),
+        dict(use_fused=True, interpret=True, section_batch=3),
+    ):
+        c_pre, nv_pre = register_fast(jnp.asarray(pan), mss_c, **kw, **extra)
+        c_inl, nv_inl = register_fast(
+            jnp.asarray(pan), mss_d, mss_params=mp, **kw, **extra
+        )
+        assert np.array_equal(np.asarray(nv_inl), np.asarray(nv_pre)), extra
+        for b in range(4):
+            for k in range(2):
+                assert np.array_equal(
+                    np.asarray(c_inl[b][k]), np.asarray(c_pre[b][k])
+                ), (extra, b, k)
+
+
 def test_register_fast_scan_unroll_matches_lax_map(rng):
     """``unroll>1`` swaps lax.map for an unrolled lax.scan over the same
     tile body — identical math, different step scheduling — so the
